@@ -1,0 +1,33 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+Multi-chip sharding logic (data-parallel frame sharding, spatial partitioning
+with halo exchange) is exercised host-side via
+``--xla_force_host_platform_device_count=8``, per the reference test strategy
+gap analysis (SURVEY.md section 4, item 6).
+"""
+
+import os
+
+# Must happen before jax is imported anywhere. Forced (not setdefault): the
+# session may carry an axon/TPU platform which would tunnel every test op.
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax
+
+# The environment's sitecustomize can programmatically pin jax_platforms to a
+# TPU plugin at interpreter start, overriding the env var — force CPU again at
+# the config level before any backend initialises.
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0)

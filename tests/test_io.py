@@ -1,0 +1,72 @@
+"""y4m / video ingest tests."""
+
+import io
+
+import numpy as np
+import pytest
+
+from pqa2_tpu.io.y4m import Y4MHeader, Y4MReader, read_y4m, write_y4m
+from pqa2_tpu.io.video import VideoReader, probe_video
+
+
+def synth_frames(rng, n=5, h=48, w=64):
+    frames = []
+    for i in range(n):
+        frames.append(
+            {
+                "y": rng.integers(0, 256, (h, w), dtype=np.uint8),
+                "u": rng.integers(0, 256, (h // 2, w // 2), dtype=np.uint8),
+                "v": rng.integers(0, 256, (h // 2, w // 2), dtype=np.uint8),
+            }
+        )
+    return frames
+
+
+def test_y4m_roundtrip(tmp_path, rng):
+    frames = synth_frames(rng)
+    path = tmp_path / "clip.y4m"
+    write_y4m(path, frames, fps=(30000, 1001))
+    header, back = read_y4m(path)
+    assert header.width == 64 and header.height == 48
+    assert header.fps == pytest.approx(29.97, abs=0.01)
+    assert len(back) == len(frames)
+    for a, b in zip(frames, back):
+        for p in ("y", "u", "v"):
+            np.testing.assert_array_equal(a[p], b[p])
+
+
+def test_y4m_header_parsing():
+    hdr = b"YUV4MPEG2 W1920 H1080 F30000:1001 Ip A1:1 C420mpeg2\n"
+    r = Y4MReader(io.BytesIO(hdr))
+    h = r.header
+    assert (h.width, h.height) == (1920, 1080)
+    assert h.pix_fmt == "yuv420p"
+    assert h.bit_depth == 8
+    assert h.chroma_shape == (540, 960)
+
+
+def test_y4m_high_bitdepth_header():
+    h = Y4MHeader(width=640, height=480, fps_num=24, fps_den=1, colorspace="C420p10")
+    assert h.bit_depth == 10
+    assert h.pix_fmt == "yuv420p10le"
+
+
+def test_probe_video_y4m(tmp_path, rng):
+    frames = synth_frames(rng, n=7)
+    path = tmp_path / "clip.y4m"
+    write_y4m(path, frames, fps=(25, 1))
+    info = probe_video(str(path))
+    assert info["frame_count"] == 7
+    assert info["width"] == 64 and info["height"] == 48
+    assert info["frame_rate"] == 25.0
+    assert info["duration"] == pytest.approx(7 / 25)
+
+
+def test_video_reader_iterates(tmp_path, rng):
+    frames = synth_frames(rng, n=3)
+    path = tmp_path / "clip.y4m"
+    write_y4m(path, frames)
+    with VideoReader(str(path)) as r:
+        got = list(r)
+    assert len(got) == 3
+    np.testing.assert_array_equal(got[1]["y"], frames[1]["y"])

@@ -1,0 +1,83 @@
+"""Model-loader tests: parse all packaged models and assert the parameters
+documented in SURVEY.md section 2.2 (from the reference's models/*.json)."""
+
+import numpy as np
+import pytest
+
+from pqa2_tpu.models import available_models, get_model
+from pqa2_tpu.models.loader import (
+    CANONICAL_FEATURES,
+    BootstrapModel,
+    VMAFModel,
+)
+
+
+def test_registry_lists_all_models():
+    names = available_models()
+    for expected in [
+        "vmaf_v0.6.1",
+        "vmaf_v0.6.1neg",
+        "vmaf_4k_v0.6.1",
+        "vmaf_b_v0.6.3",
+        "vmaf_float_v0.6.1",
+    ]:
+        assert expected in names
+
+
+def test_hd_model_parameters():
+    m = get_model("vmaf_v0.6.1")
+    assert isinstance(m, VMAFModel)
+    assert m.feature_names == CANONICAL_FEATURES
+    assert m.n_sv == 211
+    assert m.gamma == pytest.approx(0.04)
+    assert m.rho == pytest.approx(-1.33133)
+    assert m.sv.shape == (211, 6)
+    assert m.slopes.shape == (7,)
+    assert m.score_clip == (0.0, 100.0)
+    st = m.score_transform
+    assert st is not None and st.out_gte_in
+    assert st.p0 == pytest.approx(1.70674692)
+    assert st.p1 == pytest.approx(1.72643844)
+    assert st.p2 == pytest.approx(-0.00705305)
+    assert m.uses_integer_features
+    # SV feature values live in the normalised [~0, ~1] space.
+    assert np.all(m.sv <= 1.5) and np.all(m.sv >= -0.5)
+
+
+def test_neg_model_gain_limits():
+    m = get_model("vmaf_v0.6.1neg")
+    assert m.feature_opt("adm2", "adm_enhn_gain_limit", None) == 1.0
+    for s in range(4):
+        assert m.feature_opt(f"vif_scale{s}", "vif_enhn_gain_limit", None) == 1.0
+    # Plain model has no limits.
+    plain = get_model("vmaf_v0.6.1")
+    assert plain.feature_opt("adm2", "adm_enhn_gain_limit", 100.0) == 100.0
+
+
+def test_4k_model():
+    m = get_model("vmaf_4k_v0.6.1")
+    assert m.n_sv == 262
+    assert m.rho == pytest.approx(-2.30449)
+    assert m.score_transform is None
+
+
+def test_bootstrap_model():
+    b = get_model("vmaf_b_v0.6.3")
+    assert isinstance(b, BootstrapModel)
+    assert b.n_models == 21
+    for sub in b.models:
+        assert sub.sv.shape[1] == 6
+        assert 205 <= sub.n_sv <= 220
+    assert b.models[0].rho == pytest.approx(-1.38271)
+
+
+def test_npz_roundtrip_matches_json_parse():
+    from pqa2_tpu.models.loader import load_model
+
+    j = load_model("/root/reference/models/vmaf_v0.6.1.json", name="vmaf_v0.6.1")
+    n = get_model("vmaf_v0.6.1")
+    np.testing.assert_array_equal(j.sv, n.sv)
+    np.testing.assert_array_equal(j.sv_coef, n.sv_coef)
+    np.testing.assert_array_equal(j.slopes, n.slopes)
+    np.testing.assert_array_equal(j.intercepts, n.intercepts)
+    assert j.gamma == n.gamma and j.rho == n.rho
