@@ -1,0 +1,56 @@
+"""Batched SSIM — jnp implementation of ffmpeg's 8x8-block ssim filter.
+
+The x264-derived variant (NOT Gaussian-window SSIM): integer sums over 4x4
+blocks, SSIM evaluated on overlapping 8x8 windows placed on a 4-pixel grid
+(reference pass: app/vmaf_analyzer.py:1057-1075; oracle:
+pqa2_tpu.golden.ssim, incl. the c1=416 / c2=235963 constants).
+
+All sums are exact in f32 up to the 4x4-block level (<= 2^20); the window
+products round at ~1e-7 relative — well inside the 1e-5 parity budget the
+tests enforce against the float64 oracle.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+from pqa2_tpu.golden.ssim import SSIM_C1, SSIM_C2
+
+
+def _block_sums(p: jnp.ndarray) -> jnp.ndarray:
+    """(N, H, W) -> (N, H//4, W//4) sums over non-overlapping 4x4 blocks."""
+    n, h, w = p.shape
+    h4, w4 = h // 4, w // 4
+    p = p[:, : h4 * 4, : w4 * 4]
+    return p.reshape(n, h4, 4, w4, 4).sum(axis=(2, 4))
+
+
+def _group(a: jnp.ndarray) -> jnp.ndarray:
+    """2x2 groups of 4x4 blocks -> overlapping 8x8 windows on a 4px grid."""
+    return a[:, :-1, :-1] + a[:, :-1, 1:] + a[:, 1:, :-1] + a[:, 1:, 1:]
+
+
+def ssim_plane_batched(ref: jnp.ndarray, dist: jnp.ndarray) -> jnp.ndarray:
+    """(N, H, W) plane pair -> (N,) per-frame SSIM (ffmpeg variant)."""
+    r = ref.astype(jnp.float32)
+    d = dist.astype(jnp.float32)
+    s1 = _block_sums(r)
+    s2 = _block_sums(d)
+    ss = _block_sums(r * r) + _block_sums(d * d)
+    s12 = _block_sums(r * d)
+
+    fs1, fs2, fss, fs12 = _group(s1), _group(s2), _group(ss), _group(s12)
+    vars_ = fss * 64.0 - fs1 * fs1 - fs2 * fs2
+    covar = fs12 * 64.0 - fs1 * fs2
+    num = (2.0 * fs1 * fs2 + SSIM_C1) * (2.0 * covar + SSIM_C2)
+    den = (fs1 * fs1 + fs2 * fs2 + SSIM_C1) * (vars_ + SSIM_C2)
+    return jnp.mean(num / den, axis=(-2, -1))
+
+
+def ssim_db(ssim: jnp.ndarray) -> jnp.ndarray:
+    return jnp.where(
+        ssim >= 1.0, jnp.inf, -10.0 * jnp.log10(jnp.maximum(1.0 - ssim, 1e-30))
+    )

@@ -1,0 +1,85 @@
+"""Fused per-chunk feature extraction.
+
+One traced program computes every SVR input for a frame batch: adm2, motion2
+(+ plain motion), vif_scale0..3. The reference obtains these from libvmaf's
+per-frame C loop (app/vmaf_analyzer.py:406); here the whole batch runs as one
+XLA computation so elementwise stages fuse and the MXU/VPU stay busy.
+
+Halo contract: motion2 needs frames t-1 and t+1. When scoring a chunk that
+continues an earlier/later chunk, the caller passes the neighbouring frame(s)
+attached to the batch and sets has_prev/has_next; VIF/ADM are computed only
+for the core frames (halo rows are sliced off before the spatial features).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from pqa2_tpu.ops.adm import adm_features_batched
+from pqa2_tpu.ops.motion import motion_features
+from pqa2_tpu.ops.vif import vif_features_batched
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("vif_gain", "adm_gain", "vif_variant", "has_prev", "has_next"),
+)
+def extract_features_batched(
+    ref: jnp.ndarray,
+    dist: jnp.ndarray,
+    *,
+    vif_gain: float = float("inf"),
+    adm_gain: float = 100.0,
+    vif_variant: str = "default",
+    has_prev: bool = False,
+    has_next: bool = False,
+) -> Dict[str, jnp.ndarray]:
+    """(N, H, W) luma pair (incl. halo rows) -> dict of (N_core,) features.
+
+    Keys: adm2, motion, motion2, vif_scale0..3 — the canonical SVR inputs
+    (models/*.json feature_names).
+    """
+    ref = ref.astype(jnp.float32)
+    dist = dist.astype(jnp.float32)
+    core = slice(1 if has_prev else 0, -1 if has_next else None)
+
+    # Motion runs on the *reference* luma only (libvmaf semantics).
+    motion, motion2 = motion_features(ref, has_prev=has_prev, has_next=has_next)
+
+    ref_core = ref[core]
+    dist_core = dist[core]
+    vif = vif_features_batched(ref_core, dist_core, gain_limit=vif_gain,
+                               variant=vif_variant)
+    adm2 = adm_features_batched(ref_core, dist_core, gain_limit=adm_gain)
+
+    return {
+        "adm2": adm2,
+        "motion": motion,
+        "motion2": motion2,
+        "vif_scale0": vif[:, 0],
+        "vif_scale1": vif[:, 1],
+        "vif_scale2": vif[:, 2],
+        "vif_scale3": vif[:, 3],
+    }
+
+
+def model_feature_params(model) -> Dict[str, object]:
+    """Static extraction knobs implied by a VMAFModel's feature_opts.
+
+    NEG models carry vif_enhn_gain_limit / adm_enhn_gain_limit = 1.0
+    (models/vmaf_v0.6.1neg.json feature_opts_dicts); float models were trained
+    on the classic float VIF statistic, integer models on the integer path.
+    """
+    if hasattr(model, "models"):  # BootstrapModel: sub-models share options
+        model = model.models[0]
+    vif_gain = float(model.feature_opt("vif_scale0", "vif_enhn_gain_limit", float("inf")))
+    adm_gain = float(model.feature_opt("adm2", "adm_enhn_gain_limit", 100.0))
+    return {
+        "vif_gain": vif_gain,
+        "adm_gain": adm_gain,
+        "vif_variant": "default" if model.uses_integer_features else "classic",
+    }

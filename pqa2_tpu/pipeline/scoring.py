@@ -1,0 +1,242 @@
+"""Clip-level scoring: chunked streaming, SVR fusion, pooling.
+
+Replaces the reference's libvmaf subprocess + JSON parse round-trip
+(app/vmaf_analyzer.py:411-932). Long clips stream through the device in
+fixed-size chunks (static shapes -> one compilation) with a one-frame halo so
+motion2 is exact across chunk boundaries (SURVEY.md section 5.7).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Dict, List, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pqa2_tpu.models.loader import BootstrapModel, VMAFModel
+from pqa2_tpu.models.registry import get_model
+from pqa2_tpu.models.svr import BootstrapPredictor, ScorePredictor
+from pqa2_tpu.ops.psnr import psnr_planes_batched
+from pqa2_tpu.ops.ssim import ssim_plane_batched
+from pqa2_tpu.pipeline.features import extract_features_batched, model_feature_params
+
+DEFAULT_CHUNK_SIZE = 32
+
+POOL_METHODS = ("mean", "min", "max", "harmonic_mean")
+
+
+@dataclasses.dataclass
+class ClipScores:
+    """Per-frame metrics + model metadata for one scored clip."""
+
+    model_name: str
+    feature_names: tuple
+    features: Dict[str, np.ndarray]  # per-frame feature arrays (N,)
+    vmaf: np.ndarray  # (N,) per-frame VMAF scores
+    bootstrap: Optional[np.ndarray] = None  # (M, N) per-sub-model scores
+    psnr: Optional[Dict[str, np.ndarray]] = None
+    ssim: Optional[Dict[str, np.ndarray]] = None
+
+    @property
+    def n_frames(self) -> int:
+        return int(self.vmaf.shape[0])
+
+    def pooled(self, method: str = "mean") -> Dict[str, float]:
+        """Pooled value per metric (vmaf + features), one method."""
+        out = {"vmaf": pool_metric(self.vmaf, method)}
+        for k, v in self.features.items():
+            out[k] = pool_metric(v, method)
+        return out
+
+    def pooled_all(self) -> Dict[str, Dict[str, float]]:
+        """libvmaf-style pooled_metrics: {metric: {min/max/mean/harmonic_mean}}."""
+        metrics = {"vmaf": self.vmaf, **self.features}
+        if self.bootstrap is not None:
+            lo, hi, stddev = bootstrap_ci(self.bootstrap)
+            metrics["vmaf_bagging"] = self.bootstrap.mean(axis=0)
+            metrics["vmaf_stddev"] = stddev
+            metrics["vmaf_ci_p95_lo"] = lo
+            metrics["vmaf_ci_p95_hi"] = hi
+        return {
+            name: {m: pool_metric(vals, m) for m in POOL_METHODS}
+            for name, vals in metrics.items()
+        }
+
+
+def pool_metric(values: np.ndarray, method: str = "mean") -> float:
+    values = np.asarray(values, dtype=np.float64)
+    if values.size == 0:
+        return 0.0
+    if method == "mean":
+        return float(values.mean())
+    if method == "min":
+        return float(values.min())
+    if method == "max":
+        return float(values.max())
+    if method == "harmonic_mean":
+        # libvmaf's harmonic mean shifts by 1 to tolerate zeros.
+        return float(values.size / np.sum(1.0 / (1.0 + values)) - 1.0)
+    raise ValueError(f"unknown pool method {method!r}")
+
+
+def bootstrap_ci(scores: np.ndarray, alpha: float = 0.95):
+    """(M, N) bootstrap sub-model scores -> (ci_lo, ci_hi, stddev) per frame.
+
+    Matches libvmaf's normal-approximation CI: mean +/- 1.96 * stddev of the
+    bootstrap distribution (models 1..M-1; model 0 is the primary predictor).
+    """
+    boot = scores[1:] if scores.shape[0] > 1 else scores
+    mean = boot.mean(axis=0)
+    std = boot.std(axis=0, ddof=1) if boot.shape[0] > 1 else np.zeros_like(mean)
+    z = 1.959963984540054
+    return mean - z * std, mean + z * std, std
+
+
+def _resolve_model(model: Union[str, VMAFModel, BootstrapModel]):
+    if isinstance(model, str):
+        return get_model(model)
+    return model
+
+
+def score_features(
+    features: Dict[str, np.ndarray],
+    model: Union[str, VMAFModel, BootstrapModel] = "vmaf_v0.6.1",
+):
+    """Feature dict -> (vmaf_scores, bootstrap_scores_or_None)."""
+    mdl = _resolve_model(model)
+    names = mdl.feature_names
+    x = jnp.stack(
+        [jnp.asarray(features[k], dtype=jnp.float32) for k in names], axis=-1
+    )
+    if isinstance(mdl, BootstrapModel):
+        primary, all_scores = BootstrapPredictor(mdl)(x)
+        return np.asarray(primary), np.asarray(all_scores)
+    return np.asarray(ScorePredictor(mdl)(x)), None
+
+
+def iter_chunks(n: int, chunk_size: int):
+    """Yield (start, stop, has_prev, has_next) chunk bounds over n frames."""
+    for start in range(0, n, chunk_size):
+        stop = min(start + chunk_size, n)
+        yield start, stop, start > 0, stop < n
+
+
+def extract_clip_features(
+    ref_luma: np.ndarray,
+    dist_luma: np.ndarray,
+    *,
+    model=None,
+    chunk_size: int = DEFAULT_CHUNK_SIZE,
+    feature_params: Optional[Dict] = None,
+) -> Dict[str, np.ndarray]:
+    """Whole-clip feature extraction with chunked streaming + 1-frame halo.
+
+    ref_luma/dist_luma: (N, H, W). The final partial chunk is padded up to
+    chunk_size (static shapes -> single XLA compilation) and the pad frames'
+    features dropped.
+    """
+    if feature_params is None:
+        feature_params = model_feature_params(_resolve_model(model)) if model else {}
+    n = ref_luma.shape[0]
+    chunk_size = max(1, min(chunk_size, n))
+    parts: List[Dict[str, np.ndarray]] = []
+    for start, stop, has_prev, has_next in iter_chunks(n, chunk_size):
+        lo = start - (1 if has_prev else 0)
+        hi = stop + (1 if has_next else 0)
+        ref_c = ref_luma[lo:hi]
+        dist_c = dist_luma[lo:hi]
+        # Pad the final short chunk to the static chunk shape.
+        want = chunk_size + (1 if has_prev else 0) + (1 if has_next else 0)
+        pad = want - ref_c.shape[0]
+        if pad > 0:
+            ref_c = np.concatenate([ref_c, np.repeat(ref_c[-1:], pad, axis=0)])
+            dist_c = np.concatenate([dist_c, np.repeat(dist_c[-1:], pad, axis=0)])
+        feats = extract_features_batched(
+            jnp.asarray(ref_c), jnp.asarray(dist_c),
+            has_prev=has_prev, has_next=has_next, **feature_params,
+        )
+        core_n = stop - start
+        part = {k: np.array(v[:core_n]) for k, v in feats.items()}
+        if pad > 0 and not has_next:
+            # The duplicated pad frame gave the true last frame a zero forward
+            # SAD; restore the clip-end semantics motion2[last] = sad(t-1, t).
+            part["motion2"][core_n - 1] = part["motion"][core_n - 1]
+        parts.append(part)
+    return {k: np.concatenate([p[k] for p in parts]) for k in parts[0]}
+
+
+def score_clip(
+    ref_luma: np.ndarray,
+    dist_luma: np.ndarray,
+    model: Union[str, VMAFModel, BootstrapModel] = "vmaf_v0.6.1",
+    chunk_size: int = DEFAULT_CHUNK_SIZE,
+    subsample: int = 1,
+) -> ClipScores:
+    """Luma batches -> per-frame VMAF. The core scoring entry point.
+
+    subsample=k scores every k-th frame (the reference's n_subsample option,
+    app/vmaf_analyzer.py:379); motion halos still use true neighbours.
+    """
+    mdl = _resolve_model(model)
+    if subsample > 1:
+        ref_luma = ref_luma[::subsample]
+        dist_luma = dist_luma[::subsample]
+    feats = extract_clip_features(
+        ref_luma, dist_luma, model=mdl, chunk_size=chunk_size
+    )
+    vmaf, boot = score_features(feats, mdl)
+    name = mdl.name if hasattr(mdl, "name") else str(model)
+    return ClipScores(
+        model_name=name,
+        feature_names=tuple(mdl.feature_names),
+        features=feats,
+        vmaf=vmaf,
+        bootstrap=boot,
+    )
+
+
+def score_planes(
+    ref_planes: Sequence[Dict[str, np.ndarray]],
+    dist_planes: Sequence[Dict[str, np.ndarray]],
+    model: Union[str, VMAFModel, BootstrapModel] = "vmaf_v0.6.1",
+    chunk_size: int = DEFAULT_CHUNK_SIZE,
+    with_psnr: bool = True,
+    with_ssim: bool = True,
+) -> ClipScores:
+    """Full scoring from planar YUV frame lists (io.VideoReader output):
+    VMAF on luma + optional PSNR/SSIM over all three planes."""
+    ref_y = np.stack([f["y"] for f in ref_planes]).astype(np.float32)
+    dist_y = np.stack([f["y"] for f in dist_planes]).astype(np.float32)
+    result = score_clip(ref_y, dist_y, model=model, chunk_size=chunk_size)
+
+    if with_psnr or with_ssim:
+        ref_u = np.stack([f["u"] for f in ref_planes])
+        ref_v = np.stack([f["v"] for f in ref_planes])
+        dist_u = np.stack([f["u"] for f in dist_planes])
+        dist_v = np.stack([f["v"] for f in dist_planes])
+    if with_psnr:
+        stats = psnr_planes_batched(ref_y, ref_u, ref_v, dist_y, dist_u, dist_v)
+        result.psnr = {k: np.asarray(v) for k, v in stats.items()}
+    if with_ssim:
+        from pqa2_tpu.ops.ssim import ssim_db
+
+        planes = {
+            "y": (ref_y, dist_y), "u": (ref_u, dist_u), "v": (ref_v, dist_v)
+        }
+        ssim: Dict[str, np.ndarray] = {}
+        total = 0.0
+        total_w = 0
+        for p, (r, d) in planes.items():
+            v = np.asarray(ssim_plane_batched(jnp.asarray(r, dtype=jnp.float32),
+                                              jnp.asarray(d, dtype=jnp.float32)))
+            ssim[f"ssim_{p}"] = v
+            w = r.shape[-2] * r.shape[-1]
+            total = total + v * w
+            total_w += w
+        ssim["ssim_all"] = total / total_w
+        ssim["ssim_db"] = np.asarray(ssim_db(jnp.asarray(ssim["ssim_all"])))
+        result.ssim = ssim
+    return result
