@@ -1,0 +1,121 @@
+"""Benchmark: VMAF throughput (frames/sec/chip) on the live JAX backend.
+
+Headline config (BASELINE.json): 4K (2160p) VMAF with the vmaf_4k_v0.6.1
+model on one chip — target >= 60 fps. Reference baseline: the PQA2 app
+measures 23-27 fps at 1080p through ffmpeg/libvmaf on CPU
+(attached_assets run logs; see BASELINE.md), i.e. ~6.5 fps extrapolated to
+4K's 4x pixel count — that extrapolation is the vs_baseline denominator.
+
+Prints ONE JSON line on stdout:
+  {"metric": "vmaf_4k_fps_per_chip", "value": N, "unit": "frames/sec",
+   "vs_baseline": N / 6.5, ...extra context fields}
+
+Run on the real TPU (do not force JAX_PLATFORMS=cpu); first compile of the
+4K program takes ~20-40s through the tunnel.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+REFERENCE_1080P_FPS = 26.0  # libvmaf n_threads=4 on the author's machine
+BASELINE_4K_FPS = REFERENCE_1080P_FPS / 4.0  # 4x pixel count
+
+
+def make_clip(n, h, w, seed=0):
+    rng = np.random.default_rng(seed)
+    base = rng.uniform(16, 235, size=(n, h, w)).astype(np.float32)
+    for _ in range(2):
+        base = (
+            base
+            + np.roll(base, 1, -1) + np.roll(base, -1, -1)
+            + np.roll(base, 1, -2) + np.roll(base, -1, -2)
+        ) / 5.0
+    ref = np.round(base)
+    dist = np.clip(ref + rng.normal(0, 4, ref.shape).astype(np.float32), 0, 255)
+    return ref, dist
+
+
+def bench_config(name, model_name, n, h, w, iters=3, log=print):
+    import jax
+    import jax.numpy as jnp
+
+    from pqa2_tpu.models.registry import get_model
+    from pqa2_tpu.models.svr import ScorePredictor
+    from pqa2_tpu.pipeline.features import (
+        extract_features_batched,
+        model_feature_params,
+    )
+
+    model = get_model(model_name)
+    params = model_feature_params(model)
+    predictor = ScorePredictor(model)
+
+    @jax.jit
+    def step(ref, dist):
+        feats = extract_features_batched(ref, dist, **params)
+        x = jnp.stack([feats[k] for k in model.feature_names], axis=-1)
+        return predictor(x)
+
+    ref_h, dist_h = make_clip(n, h, w)
+    ref = jax.device_put(jnp.asarray(ref_h))
+    dist = jax.device_put(jnp.asarray(dist_h))
+
+    t0 = time.perf_counter()
+    scores = jax.block_until_ready(step(ref, dist))
+    compile_s = time.perf_counter() - t0
+
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        jax.block_until_ready(step(ref, dist))
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    fps = n / best
+    log(
+        f"[bench] {name}: {fps:.2f} fps ({n} frames x {h}x{w}, best {best*1e3:.1f} ms,"
+        f" compile {compile_s:.1f}s, vmaf_mean {np.asarray(scores).mean():.2f})"
+    )
+    return fps
+
+
+def main():
+    import jax
+
+    log = lambda *a: print(*a, file=sys.stderr, flush=True)
+    platform = jax.devices()[0].platform
+    log(f"[bench] backend: {platform} x{jax.device_count()}")
+
+    small = platform == "cpu"  # CI/dev fallback; real numbers need the TPU
+    if small:
+        log("[bench] WARNING: cpu backend — reduced shapes, numbers not meaningful")
+        fps_hd = bench_config("1080p vmaf_v0.6.1", "vmaf_v0.6.1", 4, 270, 480, log=log)
+        fps_4k = bench_config("4k vmaf_4k_v0.6.1", "vmaf_4k_v0.6.1", 2, 540, 960, log=log)
+    else:
+        fps_hd = bench_config("1080p vmaf_v0.6.1", "vmaf_v0.6.1", 16, 1080, 1920, log=log)
+        fps_4k = bench_config("4k vmaf_4k_v0.6.1", "vmaf_4k_v0.6.1", 8, 2160, 3840, log=log)
+
+    print(
+        json.dumps(
+            {
+                "metric": "vmaf_4k_fps_per_chip",
+                "value": round(fps_4k, 2),
+                "unit": "frames/sec",
+                "vs_baseline": round(fps_4k / BASELINE_4K_FPS, 2),
+                "vmaf_1080p_fps": round(fps_hd, 2),
+                "backend": platform,
+                "target_fps": 60.0,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

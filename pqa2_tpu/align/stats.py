@@ -1,0 +1,69 @@
+"""Batched per-frame luma statistics (the device half of bookend detection).
+
+Replaces the reference's per-frame OpenCV decode + np.mean/np.std loops
+(app/bookend_alignment.py:884-930, :966-1063) with one jitted pass per chunk:
+mean, standard deviation, and a 256-bin histogram per frame. The histogram is
+the key redesign — any white-pixel-ratio threshold the host-side cascade
+wants to try afterwards becomes a free cumulative-sum lookup instead of
+another video scan.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@jax.jit
+def _stats_chunk(frames: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+    f = frames.astype(jnp.float32)
+    mean = jnp.mean(f, axis=(-2, -1))
+    # Two-pass variance: the E[x^2]-mean^2 form cancels catastrophically in
+    # f32 for bright uniform frames (exactly the bookend case).
+    d = f - mean[:, None, None]
+    std = jnp.sqrt(jnp.maximum(jnp.mean(d * d, axis=(-2, -1)), 0.0))
+    # Per-frame 256-bin histogram: one-hot accumulate via bincount per frame.
+    idx = jnp.clip(frames.astype(jnp.int32), 0, 255)
+    hist = jax.vmap(lambda x: jnp.bincount(x.ravel(), length=256))(idx)
+    return {"mean": mean, "std": std, "hist": hist}
+
+
+def frame_luma_stats(luma: np.ndarray, chunk_size: int = 64) -> Dict[str, np.ndarray]:
+    """(N, H, W) luma (uint8 or float in [0,255]) -> per-frame stats.
+
+    Returns dict with mean (N,), std (N,), hist (N, 256) and
+    white_ratio(threshold) support via cumulative histogram.
+    """
+    n = luma.shape[0]
+    parts = []
+    for start in range(0, n, chunk_size):
+        chunk = luma[start : start + chunk_size]
+        pad = 0
+        if chunk.shape[0] < chunk_size and n > chunk_size:
+            pad = chunk_size - chunk.shape[0]
+            chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, axis=0)])
+        out = _stats_chunk(jnp.asarray(chunk))
+        take = chunk.shape[0] - pad
+        parts.append({k: np.asarray(v)[:take] for k, v in out.items()})
+    stats = {k: np.concatenate([p[k] for p in parts]) for k in parts[0]}
+    # Suffix-sum of histogram: white_count[t] = #pixels with value > t.
+    hist = stats["hist"].astype(np.int64)
+    npix = luma.shape[-2] * luma.shape[-1]
+    above = np.cumsum(hist[:, ::-1], axis=1)[:, ::-1]  # >= t
+    stats["pixels"] = npix
+    stats["_above"] = above
+    return stats
+
+
+def white_ratio(stats: Dict[str, np.ndarray], threshold: float) -> np.ndarray:
+    """Fraction of pixels strictly above `threshold` per frame, from the
+    precomputed histograms."""
+    t = int(np.floor(threshold)) + 1  # strictly greater
+    if t > 255:
+        return np.zeros(stats["_above"].shape[0])
+    t = max(t, 0)
+    return stats["_above"][:, t] / stats["pixels"]

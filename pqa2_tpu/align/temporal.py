@@ -1,0 +1,175 @@
+"""Temporal alignment: bookend pair -> aligned frame ranges (+ xcorr refine).
+
+Replaces the reference's ffmpeg trim/re-encode alignment
+(app/bookend_alignment.py:468-657) with pure index arithmetic: scoring is
+in-process, so "aligned videos" are frame ranges into the decoded tensors.
+Adds an optional batched cross-correlation refinement (BASELINE.json
+north-star item) that the reference lacks: the per-frame mean-luma series of
+the candidate window is correlated against the reference's to fix off-by-a-
+few-frames capture jitter.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pqa2_tpu.align.bookend import Bookend, BookendConfig, BookendDetector
+
+logger = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class AlignmentResult:
+    """Mirror of the reference's alignment result dict
+    (app/bookend_alignment.py:440-456), with frame ranges instead of files."""
+
+    alignment_method: str
+    ref_range: Tuple[int, int]  # [start, stop) into the reference frames
+    cap_range: Tuple[int, int]  # [start, stop) into the captured frames
+    offset_frames: int
+    offset_seconds: float
+    confidence: float
+    bookends: List[Bookend]
+    content_duration: float
+    is_fallback: bool = False
+
+    @property
+    def n_frames(self) -> int:
+        return self.ref_range[1] - self.ref_range[0]
+
+    def as_dict(self) -> dict:
+        return {
+            "alignment_method": self.alignment_method,
+            "offset_frames": self.offset_frames,
+            "offset_seconds": self.offset_seconds,
+            "confidence": self.confidence,
+            "ref_range": list(self.ref_range),
+            "cap_range": list(self.cap_range),
+            "content_duration": self.content_duration,
+            "is_fallback": self.is_fallback,
+        }
+
+
+@jax.jit
+def _mean_luma_series(luma: jnp.ndarray) -> jnp.ndarray:
+    return jnp.mean(luma.astype(jnp.float32), axis=(-2, -1))
+
+
+def refine_offset_xcorr(
+    ref_series: np.ndarray,
+    cap_series: np.ndarray,
+    cap_start: int,
+    max_shift: int = 10,
+) -> Tuple[int, float]:
+    """Best extra offset for the capture window by normalised cross-corr.
+
+    ref_series: (N,) mean-luma of the reference clip.
+    cap_series: (M,) mean-luma of the full capture.
+    cap_start: candidate start index of the content window in the capture.
+    Returns (delta, confidence in [0, 1]).
+    """
+    n = len(ref_series)
+    r = ref_series - ref_series.mean()
+    rn = np.linalg.norm(r) + 1e-9
+    best_delta, best_corr = 0, -2.0
+    for delta in range(-max_shift, max_shift + 1):
+        s = cap_start + delta
+        if s < 0 or s + n > len(cap_series):
+            continue
+        c = cap_series[s : s + n]
+        c = c - c.mean()
+        corr = float(np.dot(r, c) / (rn * (np.linalg.norm(c) + 1e-9)))
+        if corr > best_corr:
+            best_corr, best_delta = corr, delta
+    return best_delta, max(best_corr, 0.0)
+
+
+def _select_loop(
+    bookends: Sequence[Bookend], n_ref: int, fps: float, buffer_frames: int
+) -> Tuple[Bookend, Bookend]:
+    """Pick the consecutive bookend pair whose content span best matches the
+    reference length (app/bookend_alignment.py:352-390)."""
+    if len(bookends) == 2:
+        return bookends[0], bookends[1]
+    best = (bookends[0], bookends[-1])
+    best_diff = float("inf")
+    for i in range(len(bookends) - 1):
+        start_b, end_b = bookends[i], bookends[i + 1]
+        loop_len = (end_b.start_frame - buffer_frames) - (
+            start_b.end_frame + 1 + buffer_frames
+        )
+        diff = abs(loop_len - n_ref)
+        if diff < best_diff:
+            best_diff = diff
+            best = (start_b, end_b)
+    return best
+
+
+def align_bookend_clips(
+    ref_luma: np.ndarray,
+    cap_luma: np.ndarray,
+    fps: float = 30.0,
+    config: Optional[BookendConfig] = None,
+    refine: bool = True,
+) -> AlignmentResult:
+    """Full alignment: detect bookends in the capture, select the loop whose
+    length best matches the reference, optionally refine with xcorr, and
+    return matched frame ranges of equal length."""
+    cfg = config or BookendConfig()
+    n_ref = ref_luma.shape[0]
+    n_cap = cap_luma.shape[0]
+
+    detector = BookendDetector(cfg)
+    bookends = detector.detect(cap_luma, fps)
+    if len(bookends) < 2:
+        raise ValueError("failed to detect at least two white bookend sections")
+    is_fallback = any(b.is_fallback for b in bookends)
+
+    # ~1.5 frame safety buffer next to each bookend (bookend_alignment.py:337).
+    buffer_frames = 1 if is_fallback else 2
+    first, last = _select_loop(bookends, n_ref, fps, buffer_frames)
+
+    content_start = first.end_frame + 1 + buffer_frames
+    content_stop = last.start_frame - buffer_frames  # exclusive
+    if content_stop <= content_start:
+        raise ValueError("invalid content timing between bookends")
+
+    # Apply the configured frame offset (reference 'frame_offset' option).
+    content_start = max(0, min(content_start + cfg.frame_offset, n_cap - 1))
+
+    confidence = 0.95  # bookend method baseline (bookend_alignment.py:444)
+    offset_delta = 0
+    if refine and not is_fallback:
+        ref_series = np.asarray(_mean_luma_series(jnp.asarray(ref_luma)))
+        cap_series = np.asarray(_mean_luma_series(jnp.asarray(cap_luma)))
+        n_cmp = min(n_ref, content_stop - content_start)
+        offset_delta, corr = refine_offset_xcorr(
+            ref_series[:n_cmp], cap_series, content_start
+        )
+        if corr > 0.5:
+            content_start = max(0, content_start + offset_delta)
+            confidence = max(confidence, 0.5 + 0.5 * corr)
+        else:
+            offset_delta = 0
+
+    n_aligned = min(n_ref, content_stop - content_start, n_cap - content_start)
+    if n_aligned <= 0:
+        raise ValueError("no content frames left after alignment")
+
+    return AlignmentResult(
+        alignment_method="bookend",
+        ref_range=(0, n_aligned),
+        cap_range=(content_start, content_start + n_aligned),
+        offset_frames=int(content_start),
+        offset_seconds=float(content_start / fps),
+        confidence=float(confidence),
+        bookends=list(bookends),
+        content_duration=float(n_aligned / fps),
+        is_fallback=is_fallback,
+    )

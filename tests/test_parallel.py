@@ -1,0 +1,67 @@
+"""Sharded scoring on the virtual 8-device CPU mesh (SURVEY.md section 4, item 6)."""
+
+import jax
+import numpy as np
+import pytest
+
+from pqa2_tpu.parallel import (
+    frame_sharding,
+    make_mesh,
+    make_sharded_scorer,
+    shard_frames,
+)
+from pqa2_tpu.pipeline.scoring import score_clip
+
+
+def _clip(rng, n=8, h=64, w=96):
+    base = rng.uniform(16, 235, size=(n, h, w))
+    for _ in range(2):
+        base = (base + np.roll(base, 1, -1) + np.roll(base, -1, -1)
+                + np.roll(base, 1, -2) + np.roll(base, -1, -2)) / 5.0
+    ref = np.round(base).astype(np.float32)
+    dist = np.clip(ref + rng.normal(0, 4, ref.shape), 0, 255).astype(np.float32)
+    return ref, dist
+
+
+def test_mesh_shapes():
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    mesh2 = make_mesh(n_data=4, n_space=2)
+    assert mesh2.shape == {"data": 4, "space": 2}
+    with pytest.raises(ValueError):
+        make_mesh(n_data=16, n_space=2)
+
+
+def test_sharded_scores_match_single_device(rng):
+    ref, dist = _clip(rng)
+    want = score_clip(ref, dist, chunk_size=8).vmaf
+
+    mesh = make_mesh(n_data=4, n_space=2)
+    step = make_sharded_scorer(mesh)
+    out = step(shard_frames(ref, mesh), shard_frames(dist, mesh))
+    got = np.asarray(out["vmaf"])
+    # Identical math either way; sharding only changes reduction grouping.
+    np.testing.assert_allclose(got, want, rtol=0, atol=5e-3)
+
+
+def test_sharded_data_only_mesh(rng):
+    ref, dist = _clip(rng, n=8)
+    mesh = make_mesh(n_data=8, n_space=1)
+    step = make_sharded_scorer(mesh, with_psnr_ssim=True)
+    out = step(shard_frames(ref, mesh), shard_frames(dist, mesh))
+    assert np.asarray(out["vmaf"]).shape == (8,)
+    assert np.asarray(out["psnr_y"]).shape == (8,)
+    assert np.all(np.asarray(out["ssim_y"]) <= 1.0)
+
+
+def test_motion_halo_across_shards(rng):
+    """motion2 must see true neighbour frames across device boundaries."""
+    ref, dist = _clip(rng, n=8)
+    whole = score_clip(ref, dist, chunk_size=8).features["motion2"]
+
+    mesh = make_mesh(n_data=8, n_space=1)  # every frame on its own device
+    step = make_sharded_scorer(mesh)
+    out = step(shard_frames(ref, mesh), shard_frames(dist, mesh))
+    np.testing.assert_allclose(
+        np.asarray(out["motion2"]), whole, rtol=0, atol=1e-4
+    )
