@@ -10,8 +10,14 @@ Prints ONE JSON line on stdout:
   {"metric": "vmaf_4k_fps_per_chip", "value": N, "unit": "frames/sec",
    "vs_baseline": N / 6.5, ...extra context fields}
 
-Run on the real TPU (do not force JAX_PLATFORMS=cpu); first compile of the
-4K program takes ~20-40s through the tunnel.
+Methodology notes:
+  * inputs are cheap uint8 noise+gradient clips (throughput is shape-bound,
+    not content-bound; scores are irrelevant here)
+  * each timed step consumes a different input buffer pair — the tunneled
+    backend memoizes identical (executable, args) calls, so reusing one
+    buffer measures the cache, not the chip
+  * run on the real TPU (do not force JAX_PLATFORMS=cpu); first compile is
+    ~10-40s through the tunnel
 """
 
 from __future__ import annotations
@@ -29,21 +35,16 @@ REFERENCE_1080P_FPS = 26.0  # libvmaf n_threads=4 on the author's machine
 BASELINE_4K_FPS = REFERENCE_1080P_FPS / 4.0  # 4x pixel count
 
 
-def make_clip(n, h, w, seed=0):
+def make_clip_u8(n, h, w, seed=0):
+    """Fast synthetic luma: blocky noise + gradient (uint8, no fp churn)."""
     rng = np.random.default_rng(seed)
-    base = rng.uniform(16, 235, size=(n, h, w)).astype(np.float32)
-    for _ in range(2):
-        base = (
-            base
-            + np.roll(base, 1, -1) + np.roll(base, -1, -1)
-            + np.roll(base, 1, -2) + np.roll(base, -1, -2)
-        ) / 5.0
-    ref = np.round(base)
-    dist = np.clip(ref + rng.normal(0, 4, ref.shape).astype(np.float32), 0, 255)
-    return ref, dist
+    coarse = rng.integers(0, 200, size=(n, (h + 7) // 8, (w + 7) // 8), dtype=np.uint8)
+    frames = np.kron(coarse, np.ones((1, 8, 8), dtype=np.uint8))[:, :h, :w]
+    ramp = np.linspace(0, 55, w, dtype=np.float32).astype(np.uint8)[None, None, :]
+    return (frames + ramp).astype(np.uint8)
 
 
-def bench_config(name, model_name, n, h, w, iters=3, log=print):
+def bench_config(name, model_name, n, h, w, iters=4, log=print):
     import jax
     import jax.numpy as jnp
 
@@ -64,18 +65,26 @@ def bench_config(name, model_name, n, h, w, iters=3, log=print):
         x = jnp.stack([feats[k] for k in model.feature_names], axis=-1)
         return predictor(x)
 
-    ref_h, dist_h = make_clip(n, h, w)
-    ref = jax.device_put(jnp.asarray(ref_h))
-    dist = jax.device_put(jnp.asarray(dist_h))
+    # Distinct input pairs per timed iteration (defeat any backend memoizing).
+    pairs = []
+    for i in range(iters + 1):
+        r = make_clip_u8(n, h, w, seed=2 * i)
+        d = make_clip_u8(n, h, w, seed=2 * i + 1)
+        pairs.append(
+            (
+                jax.device_put(jnp.asarray(r, dtype=jnp.float32)),
+                jax.device_put(jnp.asarray(d, dtype=jnp.float32)),
+            )
+        )
 
     t0 = time.perf_counter()
-    scores = jax.block_until_ready(step(ref, dist))
+    scores = jax.block_until_ready(step(*pairs[0]))
     compile_s = time.perf_counter() - t0
 
     times = []
-    for _ in range(iters):
+    for i in range(1, iters + 1):
         t0 = time.perf_counter()
-        jax.block_until_ready(step(ref, dist))
+        jax.block_until_ready(step(*pairs[i]))
         times.append(time.perf_counter() - t0)
     best = min(times)
     fps = n / best

@@ -57,8 +57,17 @@ class AlignmentResult:
 
 
 @jax.jit
-def _mean_luma_series(luma: jnp.ndarray) -> jnp.ndarray:
-    return jnp.mean(luma.astype(jnp.float32), axis=(-2, -1))
+def _thumb_series(luma: jnp.ndarray) -> jnp.ndarray:
+    """(N, H, W) -> (N, 64) 8x8 block-mean thumbnails.
+
+    A per-frame signature for the temporal cross-correlation: scalar frame
+    means are too weak when content luminance barely varies frame-to-frame,
+    while 8x8 thumbnails survive capture noise and stay cheap."""
+    n, h, w = luma.shape
+    bh, bw = h // 8, w // 8
+    x = luma.astype(jnp.float32)[:, : bh * 8, : bw * 8]
+    thumb = x.reshape(n, 8, bh, 8, bw).mean(axis=(2, 4))
+    return thumb.reshape(n, 64)
 
 
 def refine_offset_xcorr(
@@ -69,23 +78,34 @@ def refine_offset_xcorr(
 ) -> Tuple[int, float]:
     """Best extra offset for the capture window by normalised cross-corr.
 
-    ref_series: (N,) mean-luma of the reference clip.
-    cap_series: (M,) mean-luma of the full capture.
+    ref_series: (N, D) per-frame signatures of the reference clip.
+    cap_series: (M, D) signatures of the full capture.
     cap_start: candidate start index of the content window in the capture.
-    Returns (delta, confidence in [0, 1]).
+    Returns (delta, confidence in [0, 1]). A nonzero delta is only proposed
+    when it beats the delta=0 correlation by a clear margin.
     """
-    n = len(ref_series)
-    r = ref_series - ref_series.mean()
+    ref_series = np.atleast_2d(np.asarray(ref_series, dtype=np.float64))
+    cap_series = np.atleast_2d(np.asarray(cap_series, dtype=np.float64))
+    if ref_series.shape[0] == 1:  # (D,) scalars passed as a row
+        ref_series = ref_series.T
+        cap_series = cap_series.T
+    n = ref_series.shape[0]
+    r = (ref_series - ref_series.mean()).ravel()
     rn = np.linalg.norm(r) + 1e-9
-    best_delta, best_corr = 0, -2.0
+
+    def corr_at(s):
+        c = cap_series[s : s + n]
+        c = (c - c.mean()).ravel()
+        return float(np.dot(r, c) / (rn * (np.linalg.norm(c) + 1e-9)))
+
+    corr0 = corr_at(cap_start) if 0 <= cap_start <= len(cap_series) - n else -2.0
+    best_delta, best_corr = 0, corr0
     for delta in range(-max_shift, max_shift + 1):
         s = cap_start + delta
-        if s < 0 or s + n > len(cap_series):
+        if delta == 0 or s < 0 or s + n > len(cap_series):
             continue
-        c = cap_series[s : s + n]
-        c = c - c.mean()
-        corr = float(np.dot(r, c) / (rn * (np.linalg.norm(c) + 1e-9)))
-        if corr > best_corr:
+        corr = corr_at(s)
+        if corr > best_corr + 0.02:
             best_corr, best_delta = corr, delta
     return best_delta, max(best_corr, 0.0)
 
@@ -131,12 +151,15 @@ def align_bookend_clips(
         raise ValueError("failed to detect at least two white bookend sections")
     is_fallback = any(b.is_fallback for b in bookends)
 
-    # ~1.5 frame safety buffer next to each bookend (bookend_alignment.py:337).
-    buffer_frames = 1 if is_fallback else 2
-    first, last = _select_loop(bookends, n_ref, fps, buffer_frames)
-
-    content_start = first.end_frame + 1 + buffer_frames
-    content_stop = last.start_frame - buffer_frames  # exclusive
+    # ~1.5 frame safety buffer next to each bookend (bookend_alignment.py:337),
+    # shrunk adaptively so very short contents still leave frames to score.
+    content_start = content_stop = 0
+    for buffer_frames in ((1, 0) if is_fallback else (2, 1, 0)):
+        first, last = _select_loop(bookends, n_ref, fps, buffer_frames)
+        content_start = first.end_frame + 1 + buffer_frames
+        content_stop = last.start_frame - buffer_frames  # exclusive
+        if content_stop > content_start:
+            break
     if content_stop <= content_start:
         raise ValueError("invalid content timing between bookends")
 
@@ -146,8 +169,8 @@ def align_bookend_clips(
     confidence = 0.95  # bookend method baseline (bookend_alignment.py:444)
     offset_delta = 0
     if refine and not is_fallback:
-        ref_series = np.asarray(_mean_luma_series(jnp.asarray(ref_luma)))
-        cap_series = np.asarray(_mean_luma_series(jnp.asarray(cap_luma)))
+        ref_series = np.asarray(_thumb_series(jnp.asarray(ref_luma)))
+        cap_series = np.asarray(_thumb_series(jnp.asarray(cap_luma)))
         n_cmp = min(n_ref, content_stop - content_start)
         offset_delta, corr = refine_offset_xcorr(
             ref_series[:n_cmp], cap_series, content_start

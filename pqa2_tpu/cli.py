@@ -1,0 +1,223 @@
+"""Command-line interface.
+
+The reference is GUI-only; this CLI exposes the same engine layer headlessly:
+
+  python -m pqa2_tpu.cli score REF DIST [--model M] [--out DIR] ...
+  python -m pqa2_tpu.cli align REF CAPTURE [--out DIR]
+  python -m pqa2_tpu.cli capture REF [--duration S]     (file-playback backend)
+  python -m pqa2_tpu.cli full REF CAPTURE               (align + score + report)
+  python -m pqa2_tpu.cli batch LADDER.json              (multi-clip suite)
+  python -m pqa2_tpu.cli probe VIDEO
+  python -m pqa2_tpu.cli models
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import sys
+from typing import List, Optional
+
+
+def _add_score_args(p):
+    p.add_argument("--model", default="vmaf_v0.6.1")
+    p.add_argument("--out", default=None, help="output directory")
+    p.add_argument("--test-name", default=None)
+    p.add_argument("--duration", type=float, default=None)
+    p.add_argument("--pool", default="mean",
+                   choices=["mean", "min", "max", "harmonic_mean"])
+    p.add_argument("--subsample", type=int, default=1)
+    p.add_argument("--no-psnr", action="store_true")
+    p.add_argument("--no-ssim", action="store_true")
+
+
+def cmd_score(args) -> int:
+    from pqa2_tpu.app.vmaf_analyzer import VMAFAnalyzer
+
+    analyzer = VMAFAnalyzer()
+    analyzer.model = args.model
+    analyzer.pool_method = args.pool
+    analyzer.feature_subsample = args.subsample
+    analyzer.psnr_enabled = not args.no_psnr
+    analyzer.ssim_enabled = not args.no_ssim
+    if args.out:
+        analyzer.set_output_directory(args.out)
+    if args.test_name:
+        analyzer.set_test_name(args.test_name)
+    analyzer.status_update.connect(lambda m: print(f"[score] {m}", file=sys.stderr))
+    results = analyzer.analyze_videos(
+        args.reference, args.distorted, model=args.model, duration=args.duration
+    )
+    if results is None:
+        return 1
+    print(json.dumps({
+        "vmaf": results["vmaf_score"],
+        "psnr": results["psnr_score"],
+        "ssim": results["ssim_score"],
+        "frames": results["frame_count"],
+        "json_path": results["json_path"],
+    }, default=str))
+    return 0
+
+
+def cmd_align(args) -> int:
+    from pqa2_tpu.app.bookend_aligner import BookendAligner
+
+    aligner = BookendAligner()
+    aligner.status_update.connect(lambda m: print(f"[align] {m}", file=sys.stderr))
+    res = aligner.align_bookend_videos(args.reference, args.capture)
+    if res is None:
+        return 1
+    print(json.dumps({k: res[k] for k in (
+        "aligned_reference", "aligned_captured", "offset_frames",
+        "offset_seconds", "confidence", "is_fallback")}))
+    return 0
+
+
+def cmd_capture(args) -> int:
+    from pqa2_tpu.app.capture import CaptureManager, FilePlaybackBackend
+    from pqa2_tpu.io.video import probe_video
+
+    info = probe_video(args.reference)
+    cm = CaptureManager(backend=FilePlaybackBackend(noise_sigma=args.noise))
+    cm.set_output_directory(args.out or ".")
+    cm.set_test_name(args.test_name or "capture")
+    cm.set_reference_video(info)
+    done: List = []
+    cm.capture_finished.connect(lambda ok, p: done.append((ok, p)))
+    cm.status_update.connect(lambda m: print(f"[capture] {m}", file=sys.stderr))
+    if not cm.start_bookend_capture(args.device):
+        return 1
+    cm.wait()
+    if not done or not done[0][0]:
+        return 1
+    print(json.dumps({"capture_path": done[0][1]}))
+    return 0
+
+
+def cmd_full(args) -> int:
+    """Combined workflow: align then score then report
+    (the reference AnalysisTab pipeline, app/ui/tabs/analysis_tab.py:174)."""
+    from pqa2_tpu.app.bookend_aligner import BookendAligner
+    from pqa2_tpu.app.report_generator import ReportGenerator
+    from pqa2_tpu.app.vmaf_analyzer import VMAFAnalyzer
+
+    aligner = BookendAligner()
+    res = aligner.align_bookend_videos(args.reference, args.capture)
+    if res is None:
+        return 1
+    analyzer = VMAFAnalyzer()
+    analyzer.model = args.model
+    out_dir = args.out or os.path.dirname(args.capture) or "."
+    analyzer.set_output_directory(out_dir)
+    results = analyzer.analyze_videos(
+        res["aligned_reference"], res["aligned_captured"], model=args.model
+    )
+    if results is None:
+        return 1
+    gen = ReportGenerator()
+    pdf = gen.generate_report(results, os.path.join(out_dir, "report.pdf"))
+    html = gen.generate_html_report(results, os.path.join(out_dir, "report.html"))
+    csvp = gen.export_csv(results, os.path.join(out_dir, "frames.csv"))
+    print(json.dumps({
+        "vmaf": results["vmaf_score"],
+        "psnr": results["psnr_score"],
+        "ssim": results["ssim_score"],
+        "alignment_confidence": res["confidence"],
+        "report_pdf": pdf, "report_html": html, "csv": csvp,
+    }, default=str))
+    return 0
+
+
+def cmd_batch(args) -> int:
+    from pqa2_tpu.pipeline.batch import run_batch_suite
+
+    with open(args.ladder) as f:
+        spec = json.load(f)
+    summary = run_batch_suite(
+        spec, out_dir=args.out or "batch_results", model=args.model,
+        log=lambda m: print(f"[batch] {m}", file=sys.stderr),
+    )
+    print(json.dumps(summary, default=str))
+    return 0
+
+
+def cmd_probe(args) -> int:
+    from pqa2_tpu.io.video import probe_video
+
+    print(json.dumps(probe_video(args.video), default=str))
+    return 0
+
+
+def cmd_models(args) -> int:
+    from pqa2_tpu.models.registry import available_models, get_model
+
+    out = {}
+    for name in available_models():
+        m = get_model(name)
+        if hasattr(m, "models"):
+            out[name] = {"type": "bootstrap", "n_models": m.n_models,
+                         "features": list(m.feature_names)}
+        else:
+            out[name] = {"type": "nusvr", "n_sv": m.n_sv,
+                         "features": list(m.feature_names)}
+    print(json.dumps(out, indent=2))
+    return 0
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    parser = argparse.ArgumentParser(prog="pqa2_tpu", description=__doc__)
+    parser.add_argument("-v", "--verbose", action="store_true")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("score", help="score a ref/dist pair")
+    p.add_argument("reference")
+    p.add_argument("distorted")
+    _add_score_args(p)
+    p.set_defaults(fn=cmd_score)
+
+    p = sub.add_parser("align", help="bookend-align a capture to a reference")
+    p.add_argument("reference")
+    p.add_argument("capture")
+    p.set_defaults(fn=cmd_align)
+
+    p = sub.add_parser("capture", help="simulated capture (file playback)")
+    p.add_argument("reference")
+    p.add_argument("--device", default="FilePlayback")
+    p.add_argument("--out", default=None)
+    p.add_argument("--test-name", default=None)
+    p.add_argument("--noise", type=float, default=2.0)
+    p.set_defaults(fn=cmd_capture)
+
+    p = sub.add_parser("full", help="align + score + report")
+    p.add_argument("reference")
+    p.add_argument("capture")
+    p.add_argument("--model", default="vmaf_v0.6.1")
+    p.add_argument("--out", default=None)
+    p.set_defaults(fn=cmd_full)
+
+    p = sub.add_parser("batch", help="multi-clip ladder suite")
+    p.add_argument("ladder", help="JSON spec: {pairs: [[ref, dist], ...]}")
+    p.add_argument("--model", default="vmaf_v0.6.1")
+    p.add_argument("--out", default=None)
+    p.set_defaults(fn=cmd_batch)
+
+    p = sub.add_parser("probe", help="video metadata")
+    p.add_argument("video")
+    p.set_defaults(fn=cmd_probe)
+
+    p = sub.add_parser("models", help="list packaged models")
+    p.set_defaults(fn=cmd_models)
+
+    args = parser.parse_args(argv)
+    logging.basicConfig(
+        level=logging.DEBUG if args.verbose else logging.WARNING,
+        format="%(asctime)s %(name)s %(levelname)s %(message)s",
+    )
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -131,6 +131,7 @@ def extract_clip_features(
     model=None,
     chunk_size: int = DEFAULT_CHUNK_SIZE,
     feature_params: Optional[Dict] = None,
+    frame_cb=None,
 ) -> Dict[str, np.ndarray]:
     """Whole-clip feature extraction with chunked streaming + 1-frame halo.
 
@@ -165,6 +166,8 @@ def extract_clip_features(
             # SAD; restore the clip-end semantics motion2[last] = sad(t-1, t).
             part["motion2"][core_n - 1] = part["motion"][core_n - 1]
         parts.append(part)
+        if frame_cb is not None:
+            frame_cb(core_n)
     return {k: np.concatenate([p[k] for p in parts]) for k in parts[0]}
 
 
@@ -174,18 +177,20 @@ def score_clip(
     model: Union[str, VMAFModel, BootstrapModel] = "vmaf_v0.6.1",
     chunk_size: int = DEFAULT_CHUNK_SIZE,
     subsample: int = 1,
+    frame_cb=None,
 ) -> ClipScores:
     """Luma batches -> per-frame VMAF. The core scoring entry point.
 
     subsample=k scores every k-th frame (the reference's n_subsample option,
     app/vmaf_analyzer.py:379); motion halos still use true neighbours.
+    frame_cb(n) is invoked per scored chunk with the frame count (progress).
     """
     mdl = _resolve_model(model)
     if subsample > 1:
         ref_luma = ref_luma[::subsample]
         dist_luma = dist_luma[::subsample]
     feats = extract_clip_features(
-        ref_luma, dist_luma, model=mdl, chunk_size=chunk_size
+        ref_luma, dist_luma, model=mdl, chunk_size=chunk_size, frame_cb=frame_cb
     )
     vmaf, boot = score_features(feats, mdl)
     name = mdl.name if hasattr(mdl, "name") else str(model)
@@ -205,12 +210,14 @@ def score_planes(
     chunk_size: int = DEFAULT_CHUNK_SIZE,
     with_psnr: bool = True,
     with_ssim: bool = True,
+    frame_cb=None,
 ) -> ClipScores:
     """Full scoring from planar YUV frame lists (io.VideoReader output):
     VMAF on luma + optional PSNR/SSIM over all three planes."""
     ref_y = np.stack([f["y"] for f in ref_planes]).astype(np.float32)
     dist_y = np.stack([f["y"] for f in dist_planes]).astype(np.float32)
-    result = score_clip(ref_y, dist_y, model=model, chunk_size=chunk_size)
+    result = score_clip(ref_y, dist_y, model=model, chunk_size=chunk_size,
+                        frame_cb=frame_cb)
 
     if with_psnr or with_ssim:
         ref_u = np.stack([f["u"] for f in ref_planes])

@@ -28,6 +28,11 @@ import numpy as np
 import pytest
 
 
-@pytest.fixture(scope="session")
-def rng():
-    return np.random.default_rng(0)
+@pytest.fixture()
+def rng(request):
+    # Function-scoped and seeded per test name (stable hash): deterministic
+    # data for every test regardless of suite ordering or -k selection.
+    import zlib
+
+    seed = zlib.crc32(request.node.name.encode())
+    return np.random.default_rng(seed)
