@@ -164,6 +164,10 @@ class VMAFAnalyzer:
                 return None
 
     def _analyze(self, reference_path, distorted_path, model, duration):
+        from pqa2_tpu.io.video import probe_video
+        from pqa2_tpu.pipeline.streaming import stream_score
+        from pqa2_tpu.utils.profiling import ThroughputMeter, trace
+
         for p in (reference_path, distorted_path):
             if not os.path.exists(p):
                 raise FileNotFoundError(f"video file not found: {p}")
@@ -171,22 +175,23 @@ class VMAFAnalyzer:
         self.status_update.emit(f"Starting VMAF analysis with model {model}...")
         self.analysis_progress.emit(5)
 
-        ref_info, ref_frames = self._load_frames(reference_path, duration)
-        dist_info, dist_frames = self._load_frames(distorted_path, duration)
-        if not ref_frames or not dist_frames:
-            raise ValueError("empty input video")
-        n = min(len(ref_frames), len(dist_frames))
-        ref_frames, dist_frames = ref_frames[:n], dist_frames[:n]
+        ref_info_d = probe_video(reference_path)
+        dist_info_d = probe_video(distorted_path)
+        fps = float(ref_info_d.get("frame_rate") or 30.0)
+        n_est = min(ref_info_d["frame_count"], dist_info_d["frame_count"])
+        max_frames = n_est
+        if duration:
+            max_frames = min(max_frames, int(round(duration * fps)))
         if self._abort.is_set():
             raise InterruptedError("analysis terminated")
-        self.analysis_progress.emit(25)
-        self.status_update.emit(f"Scoring {n} frames on {ref_info.width}x{ref_info.height}...")
-
-        from pqa2_tpu.utils.profiling import ThroughputMeter, trace
+        self.status_update.emit(
+            f"Scoring ~{max_frames} frames at "
+            f"{ref_info_d['width']}x{ref_info_d['height']}..."
+        )
 
         meter = ThroughputMeter(
-            n,
-            progress_cb=lambda p: self.analysis_progress.emit(25 + p * 55 // 100),
+            max_frames or 1,
+            progress_cb=lambda p: self.analysis_progress.emit(5 + p * 75 // 100),
             status_cb=self.status_update.emit,
         )
         profile_dir = None
@@ -194,16 +199,26 @@ class VMAFAnalyzer:
             profile_dir = (self.options_manager.get_setting("tpu") or {}).get(
                 "profile_dir"
             )
+
+        def on_chunk(k):
+            if self._abort.is_set():
+                raise InterruptedError("analysis terminated")
+            meter.add(k)
+
+        # Streaming scorer: decode / H2D / compute overlap, two chunks of
+        # host memory instead of the whole clip (pipeline/streaming.py).
         with trace(profile_dir, label="vmaf_score"):
-            scores = score_planes(
-                ref_frames,
-                dist_frames,
+            scores = stream_score(
+                reference_path,
+                distorted_path,
                 model=model,
                 chunk_size=self.chunk_size,
+                max_frames=max_frames,
                 with_psnr=self.psnr_enabled,
                 with_ssim=self.ssim_enabled,
-                frame_cb=meter.add,
+                frame_cb=on_chunk,
             )
+        n = scores.n_frames
         if self.feature_subsample > 1:
             # Reference semantics: score every Nth frame only (n_subsample).
             keep = np.arange(0, n, self.feature_subsample)
@@ -225,7 +240,7 @@ class VMAFAnalyzer:
         psnr_path = f"{prefix}_psnr.txt"
         ssim_path = f"{prefix}_ssim.txt"
         raw_results = write_vmaf_json(
-            scores, json_path, fps=ref_info.frame_rate,
+            scores, json_path, fps=fps,
         )
         if scores.psnr is not None:
             write_psnr_log(scores, psnr_path)
@@ -261,10 +276,10 @@ class VMAFAnalyzer:
             "distorted_path": distorted_path,
             "raw_results": raw_results,
             "model": model,
-            "width": dist_info.width,
-            "height": dist_info.height,
+            "width": dist_info_d["width"],
+            "height": dist_info_d["height"],
             "frame_count": int(scores.n_frames),
-            "duration": float(scores.n_frames / (ref_info.frame_rate or 30.0)),
+            "duration": float(scores.n_frames / fps),
         }
         self.analysis_progress.emit(100)
         self.status_update.emit(f"VMAF analysis complete! Score: {vmaf_score:.2f}")
