@@ -1,0 +1,236 @@
+"""Fused VIF Pallas kernel.
+
+One kernel per VIF scale computes, for a row-tile resident in VMEM:
+  * the five filtered local moments (mu1, mu2, E[x^2], E[y^2], E[xy])
+    via the separable Gaussian window (column pass then row pass),
+  * the per-pixel VIF statistic (integer-path or classic),
+  * the tile's partial (num, den) sums.
+
+The jnp formulation (ops/vif.py) materialises every filtered moment in HBM
+between the column and row passes — ~12 full-frame HBM round-trips per
+scale. Here everything after the input DMA stays in VMEM; HBM traffic is
+2 reads of the (padded) tile and 2 scalar writes.
+
+Layout notes:
+  * inputs are pre-padded on the host/XLA side (reflect) by the filter
+    half-width along H and W, so every tile DMA is a plain contiguous
+    slice — no edge cases inside the kernel;
+  * grid is (N, num_row_tiles); each cell DMAs its tile + halo rows from
+    HBM (overlapping reads can't be expressed as BlockSpecs);
+  * per-tile partials land in a (N, T) output, reduced by the caller.
+
+Equivalent in spirit to libvmaf's fused integer VIF extractors (the
+reference consumes those via lavfi, app/vmaf_analyzer.py:406).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from pqa2_tpu.golden.filters import vif_filter
+from pqa2_tpu.golden.vif import EPS, SIGMA_MAX_INV, SIGMA_NSQ
+
+DEFAULT_TILE_H = 64
+
+
+def _statistic(mu1, mu2, xx, yy, xy, gain_limit, variant):
+    """Per-pixel VIF statistic -> (num, den) maps. Mirrors ops/vif.py."""
+    if variant == "default":
+        sigma1_sq = jnp.maximum(xx - mu1 * mu1, 0.0)
+        sigma2_sq = jnp.maximum(yy - mu2 * mu2, 0.0)
+        sigma12 = xy - mu1 * mu2
+        log_branch = sigma1_sq >= SIGMA_NSQ
+        g = jnp.where(sigma12 > 0.0, sigma12 / jnp.maximum(sigma1_sq, EPS), 0.0)
+        g = jnp.minimum(g, gain_limit)
+        sv_sq = jnp.maximum(sigma2_sq - g * sigma12, 0.0)
+        num_log = jnp.log2(1.0 + g * g * sigma1_sq / (sv_sq + SIGMA_NSQ))
+        den_log = jnp.log2(1.0 + sigma1_sq / SIGMA_NSQ)
+        num = jnp.where(log_branch, num_log, 1.0 - sigma2_sq * SIGMA_MAX_INV)
+        den = jnp.where(log_branch, den_log, 1.0)
+        return num, den
+    # classic float path
+    sigma1_sq = xx - mu1 * mu1
+    sigma2_sq = yy - mu2 * mu2
+    sigma12 = xy - mu1 * mu2
+    g = sigma12 / (sigma1_sq + EPS)
+    sv_sq = sigma2_sq - g * sigma12
+    low1 = sigma1_sq < EPS
+    g = jnp.where(low1, 0.0, g)
+    sv_sq = jnp.where(low1, sigma2_sq, sv_sq)
+    sigma1_sq = jnp.where(low1, 0.0, sigma1_sq)
+    low2 = sigma2_sq < EPS
+    g = jnp.where(low2, 0.0, g)
+    sv_sq = jnp.where(low2, 0.0, sv_sq)
+    neg = g < 0.0
+    sv_sq = jnp.where(neg, sigma2_sq, sv_sq)
+    g = jnp.where(neg, 0.0, g)
+    sv_sq = jnp.maximum(sv_sq, EPS)
+    g = jnp.minimum(g, gain_limit)
+    num = jnp.log2(1.0 + g * g * sigma1_sq / (sv_sq + SIGMA_NSQ))
+    den = jnp.log2(1.0 + sigma1_sq / SIGMA_NSQ)
+    return num, den
+
+
+def _make_kernel(taps: np.ndarray, tile_h: int, w: int,
+                 gain_limit: float, variant: str):
+    k = len(taps)
+    half = k // 2
+    wp = w + 2 * half  # padded width
+    taps_f = [float(t) for t in taps]
+
+    def kernel(ref_hbm, dist_hbm, num_ref, den_ref, vmem, sem):
+        n = pl.program_id(0)
+        t = pl.program_id(1)
+        rows = tile_h + 2 * half
+
+        ref_tile = vmem.at[0]
+        dist_tile = vmem.at[1]
+        cp1 = pltpu.make_async_copy(
+            ref_hbm.at[n, pl.ds(t * tile_h, rows), :], ref_tile, sem.at[0]
+        )
+        cp2 = pltpu.make_async_copy(
+            dist_hbm.at[n, pl.ds(t * tile_h, rows), :], dist_tile, sem.at[1]
+        )
+        cp1.start()
+        cp2.start()
+        cp1.wait()
+        cp2.wait()
+
+        r = ref_tile[:]
+        d = dist_tile[:]
+
+        def col_filter(x):  # (rows, wp) -> (tile_h, wp)
+            acc = None
+            for i, c in enumerate(taps_f):
+                term = c * x[i : i + tile_h, :]
+                acc = term if acc is None else acc + term
+            return acc
+
+        def row_filter(x):  # (tile_h, wp) -> (tile_h, w)
+            acc = None
+            for i, c in enumerate(taps_f):
+                term = c * x[:, i : i + w]
+                acc = term if acc is None else acc + term
+            return acc
+
+        mu1 = row_filter(col_filter(r))
+        mu2 = row_filter(col_filter(d))
+        xx = row_filter(col_filter(r * r))
+        yy = row_filter(col_filter(d * d))
+        xy = row_filter(col_filter(r * d))
+
+        num, den = _statistic(mu1, mu2, xx, yy, xy, gain_limit, variant)
+        num_ref[0, 0] = jnp.sum(num)
+        den_ref[0, 0] = jnp.sum(den)
+
+    return kernel, half, wp
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scale", "gain_limit", "variant", "tile_h", "interpret"),
+)
+def vif_scale_sums_pallas(
+    ref: jnp.ndarray,
+    dist: jnp.ndarray,
+    scale: int,
+    gain_limit: float = float("inf"),
+    variant: str = "default",
+    tile_h: int = DEFAULT_TILE_H,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(N, H, W) pair at this scale's resolution -> per-frame (num, den).
+
+    The caller handles the blur+decimate between scales (cheap relative to
+    the 5-moment pass) and the final num/den division.
+    """
+    taps = vif_filter(scale)
+    n, h, w = ref.shape
+    tile_h = min(tile_h, h)
+    if h % tile_h != 0:
+        raise ValueError(
+            f"H={h} must be divisible by tile_h={tile_h} "
+            "(choose tile_h via pick_tile_h)"
+        )
+    num_tiles = h // tile_h
+
+    kernel, half, wp = _make_kernel(taps, tile_h, w, gain_limit, variant)
+
+    def pad(x):
+        x = x.astype(jnp.float32)
+        return jnp.pad(x, ((0, 0), (half, half), (half, half)), mode="reflect")
+
+    ref_p = pad(ref)
+    dist_p = pad(dist)
+
+    grid = (n, num_tiles)
+    num_t, den_t = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1), lambda i, j: (i, j), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i, j: (i, j), memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, num_tiles), jnp.float32),
+            jax.ShapeDtypeStruct((n, num_tiles), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, tile_h + 2 * half, wp), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(ref_p, dist_p)
+
+    return jnp.sum(num_t, axis=1), jnp.sum(den_t, axis=1)
+
+
+def pick_tile_h(h: int, max_tile: int = DEFAULT_TILE_H) -> int:
+    """Largest divisor of h that is <= max_tile (>= 1)."""
+    for t in range(min(max_tile, h), 0, -1):
+        if h % t == 0:
+            return t
+    return 1
+
+
+def vif_features_pallas(
+    ref: jnp.ndarray,
+    dist: jnp.ndarray,
+    gain_limit: float = float("inf"),
+    variant: str = "default",
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """(N, H, W) luma pair -> (N, 4) VIF features via the fused kernels.
+
+    Drop-in equivalent of ops.vif.vif_features_batched; the inter-scale
+    blur+decimate reuses the jnp separable filter (cheap, and XLA fuses the
+    decimation into it).
+    """
+    from pqa2_tpu.ops.filters import sep_filter_batched
+
+    ref = ref.astype(jnp.float32)
+    dist = dist.astype(jnp.float32)
+    feats = []
+    for scale in range(4):
+        taps = vif_filter(scale)
+        if scale > 0:
+            ref = sep_filter_batched(ref, taps)[:, ::2, ::2]
+            dist = sep_filter_batched(dist, taps)[:, ::2, ::2]
+        tile_h = pick_tile_h(ref.shape[1])
+        num, den = vif_scale_sums_pallas(
+            ref, dist, scale, gain_limit=gain_limit, variant=variant,
+            tile_h=tile_h, interpret=interpret,
+        )
+        feats.append(jnp.where(den > 0, num / den, 1.0))
+    return jnp.stack(feats, axis=-1)

@@ -1,0 +1,68 @@
+"""Pallas kernels vs the jnp ops (interpret mode on the CPU mesh)."""
+
+import numpy as np
+import pytest
+
+from pqa2_tpu.ops.pallas_vif import (
+    pick_tile_h,
+    vif_features_pallas,
+    vif_scale_sums_pallas,
+)
+from pqa2_tpu.ops.vif import vif_features_batched
+
+
+def _frames(rng, n=2, h=64, w=96):
+    base = rng.uniform(0, 255, size=(n, h, w))
+    for _ in range(2):
+        base = (base + np.roll(base, 1, -1) + np.roll(base, -1, -1)
+                + np.roll(base, 1, -2) + np.roll(base, -1, -2)) / 5.0
+    return np.round(base).astype(np.float32)
+
+
+def test_pick_tile_h():
+    assert pick_tile_h(1080) == 60
+    assert pick_tile_h(2160) == 60
+    assert pick_tile_h(540) == 60
+    assert pick_tile_h(64) == 64
+    assert pick_tile_h(7) == 7
+    assert pick_tile_h(13, max_tile=4) == 1
+
+
+@pytest.mark.parametrize("scale", [0, 1, 2, 3])
+def test_vif_scale_sums_match_jnp(rng, scale):
+    ref = _frames(rng)
+    dist = np.clip(ref + rng.normal(0, 4, ref.shape), 0, 255).astype(np.float32)
+    # Decimate to the scale's resolution using the jnp reference path.
+    from pqa2_tpu.golden.filters import vif_filter
+    from pqa2_tpu.ops.filters import sep_filter_batched
+
+    r, d = ref, dist
+    for s in range(1, scale + 1):
+        taps = vif_filter(s)
+        r = np.asarray(sep_filter_batched(r, taps))[:, ::2, ::2]
+        d = np.asarray(sep_filter_batched(d, taps))[:, ::2, ::2]
+
+    tile_h = pick_tile_h(r.shape[1], max_tile=16)
+    num, den = vif_scale_sums_pallas(
+        r, d, scale, tile_h=tile_h, interpret=True
+    )
+    feat = np.asarray(num) / np.asarray(den)
+    want = np.asarray(vif_features_batched(ref, dist))[:, scale]
+    np.testing.assert_allclose(feat, want, rtol=0, atol=5e-5)
+
+
+def test_vif_features_pallas_full(rng):
+    ref = _frames(rng, n=2, h=64, w=96)
+    dist = np.clip(ref + rng.normal(0, 5, ref.shape), 0, 255).astype(np.float32)
+    got = np.asarray(vif_features_pallas(ref, dist, interpret=True))
+    want = np.asarray(vif_features_batched(ref, dist))
+    # tile-partial vs whole-image summation order differs in f32
+    np.testing.assert_allclose(got, want, rtol=0, atol=2e-4)
+
+
+def test_vif_pallas_neg_gain(rng):
+    ref = _frames(rng)
+    dist = np.clip(ref * 1.3 - 25.0, 0, 255).astype(np.float32)
+    got = np.asarray(vif_features_pallas(ref, dist, gain_limit=1.0, interpret=True))
+    want = np.asarray(vif_features_batched(ref, dist, gain_limit=1.0))
+    np.testing.assert_allclose(got, want, rtol=0, atol=2e-4)
