@@ -175,7 +175,11 @@ def align_bookend_clips(
         offset_delta, corr = refine_offset_xcorr(
             ref_series[:n_cmp], cap_series, content_start
         )
-        if corr > 0.5:
+        # refine_offset_xcorr only proposes a nonzero delta when it beats the
+        # delta=0 correlation by a clear margin; the absolute gate here just
+        # rejects matches on structureless signals. Keep it permissive —
+        # spatially misregistered captures legitimately correlate weakly.
+        if corr > 0.25:
             content_start = max(0, content_start + offset_delta)
             confidence = max(confidence, 0.5 + 0.5 * corr)
         else:

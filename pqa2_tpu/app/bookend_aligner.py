@@ -50,6 +50,12 @@ class BookendAligner:
         self.state = AlignmentState.IDLE
         self.delete_capture_after_alignment = False
 
+    def _motion_compensation_enabled(self) -> bool:
+        if self.options_manager is None:
+            return False
+        b = self.options_manager.get_setting("bookend") or {}
+        return bool(b.get("motion_compensation", False))
+
     def _config(self) -> BookendConfig:
         cfg = BookendConfig()
         if self.options_manager is not None:
@@ -111,8 +117,31 @@ class BookendAligner:
             )
             r0, r1 = result.ref_range
             c0, c1 = result.cap_range
+            cap_window = cap_frames[c0:c1]
+
+            motion_compensated = False
+            if self._motion_compensation_enabled():
+                # Flag-gated spatial compensation (N10): remove the capture
+                # chain's global misregistration before scoring.
+                from pqa2_tpu.align.motioncomp import compensate, estimate_shifts
+
+                self.status_update.emit("Applying motion compensation...")
+                ref_w = np.stack([f["y"] for f in ref_frames[r0:r1]]).astype(np.float32)
+                cap_w = np.stack([f["y"] for f in cap_window]).astype(np.float32)
+                shifts = estimate_shifts(ref_w, cap_w)
+                if np.any(shifts != 0):
+                    cap_window = [
+                        {
+                            "y": compensate(f["y"][None], s[None])[0],
+                            "u": compensate(f["u"][None], (s // 2)[None])[0],
+                            "v": compensate(f["v"][None], (s // 2)[None])[0],
+                        }
+                        for f, s in zip(cap_window, shifts)
+                    ]
+                motion_compensated = True
+
             write_y4m(aligned_ref, ref_frames[r0:r1], fps=fps_pair)
-            write_y4m(aligned_cap, cap_frames[c0:c1], fps=fps_pair)
+            write_y4m(aligned_cap, cap_window, fps=fps_pair)
             self.alignment_progress.emit(90)
 
             if self.delete_capture_after_alignment:
@@ -134,7 +163,7 @@ class BookendAligner:
                     "first_bookend": dataclasses.asdict(result.bookends[0]),
                     "last_bookend": dataclasses.asdict(result.bookends[-1]),
                     "content_duration": result.content_duration,
-                    "motion_compensated": False,
+                    "motion_compensated": motion_compensated,
                 },
                 "ref_range": list(result.ref_range),
                 "cap_range": list(result.cap_range),

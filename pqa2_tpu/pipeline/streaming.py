@@ -54,10 +54,14 @@ def _chunk_producer(
     out_q: "queue.Queue",
     max_frames: Optional[int],
     stop: threading.Event,
+    meta: Optional[Dict] = None,
 ) -> None:
     """Read paired chunks; each queue item is (ref_frames, dist_frames, eof)."""
     ref_r = _open_reader(ref_path)
     dist_r = _open_reader(dist_path)
+    if meta is not None:
+        meta["ref_depth"] = _reader_depth(ref_r)
+        meta["dist_depth"] = _reader_depth(dist_r)
     try:
         n_read = 0
         ref_buf: List[Dict] = []
@@ -88,6 +92,14 @@ def _chunk_producer(
                 pass
 
 
+def _reader_depth(reader) -> int:
+    if hasattr(reader, "bit_depth"):
+        return int(reader.bit_depth)
+    if hasattr(reader, "info"):
+        return int(reader.info.bit_depth)
+    return 8
+
+
 def stream_score(
     ref_path: str,
     dist_path: str,
@@ -108,9 +120,10 @@ def stream_score(
 
     q: "queue.Queue" = queue.Queue(maxsize=2)
     stop = threading.Event()
+    meta: Dict = {}
     producer = threading.Thread(
         target=_chunk_producer,
-        args=(ref_path, dist_path, chunk_size, q, max_frames, stop),
+        args=(ref_path, dist_path, chunk_size, q, max_frames, stop, meta),
         daemon=True,
     )
     producer.start()
@@ -153,8 +166,12 @@ def stream_score(
             if has_next:
                 ref_y = ref_y + [next_head[0]["y"]]
                 dist_y = dist_y + [next_head[1]["y"]]
-            ref_batch = jnp.asarray(np.stack(ref_y), dtype=jnp.float32)
-            dist_batch = jnp.asarray(np.stack(dist_y), dtype=jnp.float32)
+            # >8-bit sources: features are evaluated on the 8-bit scale
+            # (libvmaf normalises high-bit-depth input the same way).
+            ref_div = float(1 << (meta.get("ref_depth", 8) - 8))
+            dist_div = float(1 << (meta.get("dist_depth", 8) - 8))
+            ref_batch = jnp.asarray(np.stack(ref_y), dtype=jnp.float32) / ref_div
+            dist_batch = jnp.asarray(np.stack(dist_y), dtype=jnp.float32) / dist_div
             feats = extract_features_batched(
                 ref_batch, dist_batch,
                 has_prev=has_prev, has_next=has_next, **params,
@@ -169,7 +186,11 @@ def stream_score(
                 d_u = np.stack([f["u"] for f in dist_frames])
                 d_v = np.stack([f["v"] for f in dist_frames])
             if with_psnr:
-                stats = psnr_planes_batched(r_y, r_u, r_v, d_y, d_u, d_v)
+                # PSNR runs on native code values with the native peak.
+                peak = float((1 << max(meta.get("ref_depth", 8),
+                                       meta.get("dist_depth", 8))) - 1)
+                stats = psnr_planes_batched(r_y, r_u, r_v, d_y, d_u, d_v,
+                                            max_value=peak)
                 psnr_parts.append({k: np.asarray(v) for k, v in stats.items()})
             if with_ssim:
                 from pqa2_tpu.ops.ssim import ssim_db
@@ -179,9 +200,11 @@ def stream_score(
                 tot_w = 0
                 for p, (r, d) in {"y": (r_y, d_y), "u": (r_u, d_u),
                                   "v": (r_v, d_v)}.items():
+                    # ffmpeg's 8x8 SSIM constants are 8-bit; evaluate on the
+                    # 8-bit scale for any depth.
                     vv = np.asarray(ssim_plane_batched(
-                        jnp.asarray(r, dtype=jnp.float32),
-                        jnp.asarray(d, dtype=jnp.float32)))
+                        jnp.asarray(r, dtype=jnp.float32) / ref_div,
+                        jnp.asarray(d, dtype=jnp.float32) / dist_div))
                     part[f"ssim_{p}"] = vv
                     w = r.shape[-2] * r.shape[-1]
                     tot = tot + vv * w

@@ -205,3 +205,40 @@ def test_report_generator(clip_pair, tmp_path):
     csv_p = gen.export_csv(results, str(tmp_path / "frames.csv"))
     text = open(csv_p).read()
     assert "vmaf_score" in text and "frame" in text
+
+
+def test_aligner_motion_compensation(clip_pair, tmp_path):
+    """A capture whose content is spatially shifted scores much better with
+    bookend.motion_compensation enabled."""
+    ref_path, _ = clip_pair
+    from pqa2_tpu.io.video import VideoReader
+    from pqa2_tpu.io.y4m import write_y4m
+
+    with VideoReader(ref_path) as r:
+        ref_frames = list(r)
+    white = {k: np.full_like(v, 235 if k == "y" else 128)
+             for k, v in ref_frames[0].items()}
+    shifted = [
+        {"y": np.roll(f["y"], (2, 6), axis=(0, 1)),
+         "u": np.roll(f["u"], (1, 3), axis=(0, 1)),
+         "v": np.roll(f["v"], (1, 3), axis=(0, 1))}
+        for f in ref_frames
+    ]
+    cap = [white] * 5 + shifted + [white] * 5
+    cap_path = str(tmp_path / "cap_shifted.y4m")
+    write_y4m(cap_path, cap)
+
+    om = OptionsManager(settings_file=str(tmp_path / "s.json"), save_debounce_s=0)
+    om.update_setting("bookend", "frame_offset", 0)
+    om.update_setting("bookend", "motion_compensation", True)
+    aligner = BookendAligner(options_manager=om)
+    res = aligner.align_bookend_videos(ref_path, cap_path)
+    assert res is not None
+    assert res["bookend_info"]["motion_compensated"] is True
+
+    analyzer = VMAFAnalyzer()
+    analyzer.set_output_directory(str(tmp_path / "out"))
+    results = analyzer.analyze_videos(res["aligned_reference"], res["aligned_captured"])
+    # Without compensation a 6px shift destroys VIF/ADM; with it the pair is
+    # near-identical away from the refilled border strips.
+    assert results["vmaf_score"] > 80, results["vmaf_score"]

@@ -1,0 +1,42 @@
+"""10-bit ingest: features on the 8-bit scale, PSNR at native peak."""
+
+import numpy as np
+import pytest
+
+from pqa2_tpu.io.y4m import write_y4m
+from pqa2_tpu.pipeline.streaming import stream_score
+
+
+def _planes(y, depth=8):
+    h, w = y.shape
+    c = np.full((h // 2, w // 2), 128 << (depth - 8),
+                np.uint16 if depth > 8 else np.uint8)
+    return {"y": y, "u": c, "v": c}
+
+
+def test_10bit_matches_8bit_scores(tmp_path, rng):
+    n, h, w = 3, 48, 64
+    base = rng.uniform(16, 235, size=(n, h, w))
+    for _ in range(2):
+        base = (base + np.roll(base, 1, -1) + np.roll(base, -1, -1)
+                + np.roll(base, 1, -2) + np.roll(base, -1, -2)) / 5.0
+    ref8 = np.round(base).astype(np.uint8)
+    dist8 = np.clip(ref8.astype(np.int16) + rng.integers(-5, 6, ref8.shape),
+                    0, 255).astype(np.uint8)
+    ref10 = (ref8.astype(np.uint16) << 2)
+    dist10 = (dist8.astype(np.uint16) << 2)
+
+    p8r, p8d = str(tmp_path / "r8.y4m"), str(tmp_path / "d8.y4m")
+    p10r, p10d = str(tmp_path / "r10.y4m"), str(tmp_path / "d10.y4m")
+    write_y4m(p8r, [_planes(f) for f in ref8])
+    write_y4m(p8d, [_planes(f) for f in dist8])
+    write_y4m(p10r, [_planes(f, 10) for f in ref10], colorspace="C420p10")
+    write_y4m(p10d, [_planes(f, 10) for f in dist10], colorspace="C420p10")
+
+    s8 = stream_score(p8r, p8d, with_ssim=True)
+    s10 = stream_score(p10r, p10d, with_ssim=True)
+    # x<<2 / 4 is exactly x, so scores must agree to float tolerance.
+    np.testing.assert_allclose(s10.vmaf, s8.vmaf, atol=1e-3)
+    np.testing.assert_allclose(s10.ssim["ssim_y"], s8.ssim["ssim_y"], atol=1e-5)
+    # PSNR: same relative error at 4x amplitude and 4x peak -> same dB.
+    np.testing.assert_allclose(s10.psnr["psnr_y"], s8.psnr["psnr_y"], atol=0.05)
