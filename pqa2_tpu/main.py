@@ -1,0 +1,51 @@
+"""Application entry point.
+
+Rebuild of the reference's main.py:30-82 — logging setup, manager
+construction, MainWindow — launching the Qt GUI when PyQt5 is available and
+pointing at the CLI otherwise. Run as ``python -m pqa2_tpu.main``.
+"""
+
+from __future__ import annotations
+
+import sys
+
+
+def main() -> int:
+    from pqa2_tpu.utils.logs import setup_logging
+
+    logger = setup_logging()
+
+    from pqa2_tpu.app.capture import CaptureManager
+    from pqa2_tpu.app.options_manager import OptionsManager
+    from pqa2_tpu.app.utils import FileManager, validate_application_state
+
+    options_manager = OptionsManager()
+    file_manager = FileManager()
+    capture_manager = CaptureManager(options_manager=options_manager)
+
+    checks = validate_application_state(options_manager, file_manager)
+    if not checks["all_ok"]:
+        logger.warning("application state checks: %s", checks)
+
+    try:
+        from PyQt5.QtWidgets import QApplication
+    except ImportError:
+        print(
+            "PyQt5 is not installed — GUI unavailable.\n"
+            "Use the CLI instead: python -m pqa2_tpu.cli --help",
+            file=sys.stderr,
+        )
+        return 2
+
+    from pqa2_tpu.ui.main_window import MainWindow
+    from pqa2_tpu.ui.theme_manager import ThemeManager
+
+    app = QApplication(sys.argv)
+    ThemeManager(app, options_manager).apply_current_theme()
+    window = MainWindow(capture_manager, file_manager, options_manager)
+    window.show()
+    return app.exec_()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

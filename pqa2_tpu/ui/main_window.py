@@ -1,0 +1,110 @@
+"""MainWindow — the 6-tab wizard shell.
+
+Rebuild of app/ui/main_window.py: fixed-size window with Setup / Capture /
+Analysis / Results / Options / Help tabs (:71-100), manager signal wiring
+(:112-142), capture-finished handoff to the analysis tab (:154-194),
+close-time thread/file cleanup (:230-256), and state reset (:258-285)."""
+
+from __future__ import annotations
+
+import logging
+from datetime import datetime
+
+from PyQt5.QtWidgets import QMainWindow, QTabWidget
+
+from pqa2_tpu.ui.tabs import (
+    AnalysisTab, CaptureTab, HelpTab, OptionsTab, ResultsTab, SetupTab,
+)
+
+logger = logging.getLogger(__name__)
+
+
+class MainWindow(QMainWindow):
+    def __init__(self, capture_manager=None, file_manager=None,
+                 options_manager=None):
+        super().__init__()
+        self.capture_manager = capture_manager
+        self.file_manager = file_manager
+        self.options_manager = options_manager
+        self.reference_info = None
+        self._test_timestamp = None
+        app_name = "VMAF Test App"
+        if options_manager is not None:
+            app_name = (options_manager.get_setting("branding", "app_name")
+                        or app_name)
+        self.setWindowTitle(app_name)
+        self.resize(1400, 900)
+        self._setup_ui()
+
+    def _setup_ui(self):
+        self.tabs = QTabWidget()
+        self.setup_tab = SetupTab(self)
+        self.capture_tab = CaptureTab(self)
+        self.analysis_tab = AnalysisTab(self)
+        self.results_tab = ResultsTab(self)
+        self.options_tab = OptionsTab(self)
+        self.help_tab = HelpTab(self)
+        for tab, name in (
+            (self.setup_tab, "Setup"),
+            (self.capture_tab, "Capture"),
+            (self.analysis_tab, "Analysis"),
+            (self.results_tab, "Results"),
+            (self.options_tab, "Options"),
+            (self.help_tab, "Help"),
+        ):
+            self.tabs.addTab(tab, name)
+        self.setCentralWidget(self.tabs)
+        self.statusBar().showMessage("Ready")
+
+    # -- cross-tab state -----------------------------------------------------
+
+    def current_test_name(self) -> str:
+        return self.setup_tab.test_name_edit.text() or "Test"
+
+    def current_test_dir(self) -> str:
+        if self._test_timestamp is None:
+            self._test_timestamp = datetime.now().strftime("%Y%m%d_%H%M%S")
+        if self.file_manager is not None:
+            return self.file_manager.get_test_dir(
+                self.current_test_name(), self._test_timestamp
+            )
+        import os
+
+        d = f"{self.current_test_name()}_{self._test_timestamp}"
+        os.makedirs(d, exist_ok=True)
+        return d
+
+    def handle_capture_finished(self, success: bool, path: str):
+        """Capture -> analysis handoff (app/ui/main_window.py:154-194)."""
+        if success:
+            self.analysis_tab.set_capture_path(path)
+            self.tabs.setCurrentWidget(self.analysis_tab)
+            self.statusBar().showMessage("Capture complete — ready to analyze")
+        else:
+            self.statusBar().showMessage(f"Capture failed: {path}")
+
+    def start_new_test(self):
+        """State reset (app/ui/main_window.py:258-285)."""
+        self.reference_info = None
+        self._test_timestamp = None
+        self.analysis_tab.capture_path = None
+        self.setup_tab.info_text.clear()
+        self.setup_tab.ref_path_label.setText("No reference selected")
+        self.tabs.setCurrentWidget(self.setup_tab)
+
+    def closeEvent(self, event):
+        """Thread/file cleanup on close (app/ui/main_window.py:230-256)."""
+        try:
+            if self.capture_manager is not None:
+                self.capture_manager.stop_capture()
+            for th in (self.analysis_tab._align_thread,
+                       self.analysis_tab._vmaf_thread):
+                if th is not None and th.is_alive():
+                    if hasattr(th, "terminate"):
+                        th.terminate()
+                    th.join(timeout=3.0)
+            if self.file_manager is not None:
+                self.file_manager.cleanup_temp_files()
+        except Exception:
+            logger.exception("cleanup on close failed")
+        event.accept()
