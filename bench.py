@@ -65,9 +65,11 @@ def bench_config(name, model_name, n, h, w, iters=4, log=print):
         x = jnp.stack([feats[k] for k in model.feature_names], axis=-1)
         return predictor(x)
 
-    # Distinct input pairs per timed iteration (defeat any backend memoizing).
+    # Two alternating input pairs: distinct args per timed iteration (defeat
+    # any backend memoizing) without holding iters+1 batches in HBM — the
+    # tunneled chip degrades under memory pressure.
     pairs = []
-    for i in range(iters + 1):
+    for i in range(2):
         r = make_clip_u8(n, h, w, seed=2 * i)
         d = make_clip_u8(n, h, w, seed=2 * i + 1)
         pairs.append(
@@ -82,9 +84,13 @@ def bench_config(name, model_name, n, h, w, iters=4, log=print):
     compile_s = time.perf_counter() - t0
 
     times = []
-    for i in range(1, iters + 1):
+    for i in range(iters):
+        a, b = pairs[i % 2]
+        # Nudge the distorted input on device so each call has fresh args.
+        b = b + jnp.float32(0.25 * (i + 1))
+        jax.block_until_ready(b)
         t0 = time.perf_counter()
-        jax.block_until_ready(step(*pairs[i]))
+        jax.block_until_ready(step(a, b))
         times.append(time.perf_counter() - t0)
     best = min(times)
     fps = n / best
@@ -108,8 +114,20 @@ def main():
         fps_hd = bench_config("1080p vmaf_v0.6.1", "vmaf_v0.6.1", 4, 270, 480, log=log)
         fps_4k = bench_config("4k vmaf_4k_v0.6.1", "vmaf_4k_v0.6.1", 2, 540, 960, log=log)
     else:
-        fps_hd = bench_config("1080p vmaf_v0.6.1", "vmaf_v0.6.1", 16, 1080, 1920, log=log)
-        fps_4k = bench_config("4k vmaf_4k_v0.6.1", "vmaf_4k_v0.6.1", 8, 2160, 3840, log=log)
+        def with_retry(fn, *a, **kw):
+            try:
+                return fn(*a, **kw)
+            except Exception as e:  # flaky tunnel: one retry after a pause
+                log(f"[bench] attempt failed ({e}); retrying in 30s")
+                time.sleep(30)
+                return fn(*a, **kw)
+
+        fps_hd = with_retry(
+            bench_config, "1080p vmaf_v0.6.1", "vmaf_v0.6.1", 8, 1080, 1920,
+            log=log)
+        fps_4k = with_retry(
+            bench_config, "4k vmaf_4k_v0.6.1", "vmaf_4k_v0.6.1", 4, 2160, 3840,
+            log=log)
 
     print(
         json.dumps(

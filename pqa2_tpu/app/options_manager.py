@@ -242,3 +242,29 @@ class OptionsManager:
             self.settings = copy.deepcopy(self.default_settings)
         self.save_settings(immediate=True)
         self.settings_updated.emit(self.get_settings())
+
+    # -- device discovery (API parity with app/options_manager.py:304-887;
+    #    implementation lives in app/devices.py) ----------------------------
+
+    def get_decklink_devices(self):
+        from pqa2_tpu.app import devices
+
+        return devices.get_decklink_devices()
+
+    def get_decklink_formats(self, device_name: str):
+        from pqa2_tpu.app import devices
+
+        return devices.get_decklink_formats(device_name)
+
+    def test_device_connection(self, device_name: str):
+        from pqa2_tpu.app import devices
+
+        return devices.test_device_connection(device_name)
+
+    def get_ffmpeg_path(self):
+        configured = self.get_setting("paths", "ffmpeg_path")
+        if configured:
+            return configured
+        from pqa2_tpu.app import devices
+
+        return devices.ffmpeg_path()

@@ -219,6 +219,11 @@ def vif_features_pallas(
     """
     from pqa2_tpu.ops.filters import sep_filter_batched
 
+    # Mosaic kernels only compile for TPU; interpret transparently elsewhere
+    # (tests on the CPU mesh, debugging).
+    if not interpret and jax.default_backend() != "tpu":
+        interpret = True
+
     ref = ref.astype(jnp.float32)
     dist = dist.astype(jnp.float32)
     feats = []

@@ -14,6 +14,7 @@ for the core frames (halo rows are sliced off before the spatial features).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Dict, Optional
 
 import jax
@@ -23,10 +24,16 @@ from pqa2_tpu.ops.adm import adm_features_batched
 from pqa2_tpu.ops.motion import motion_features
 from pqa2_tpu.ops.vif import vif_features_batched
 
+# Kernel backend switch: "xla" = jnp shifted-slice ops, "pallas" = fused
+# Pallas kernels where available (currently VIF). Env override for benching.
+KERNEL_BACKEND = os.environ.get("PQA2_KERNEL_BACKEND", "xla")
+
 
 @functools.partial(
     jax.jit,
-    static_argnames=("vif_gain", "adm_gain", "vif_variant", "has_prev", "has_next"),
+    static_argnames=(
+        "vif_gain", "adm_gain", "vif_variant", "has_prev", "has_next", "backend",
+    ),
 )
 def extract_features_batched(
     ref: jnp.ndarray,
@@ -37,12 +44,15 @@ def extract_features_batched(
     vif_variant: str = "default",
     has_prev: bool = False,
     has_next: bool = False,
+    backend: Optional[str] = None,
 ) -> Dict[str, jnp.ndarray]:
     """(N, H, W) luma pair (incl. halo rows) -> dict of (N_core,) features.
 
     Keys: adm2, motion, motion2, vif_scale0..3 — the canonical SVR inputs
     (models/*.json feature_names).
     """
+    if backend is None:
+        backend = KERNEL_BACKEND
     ref = ref.astype(jnp.float32)
     dist = dist.astype(jnp.float32)
     core = slice(1 if has_prev else 0, -1 if has_next else None)
@@ -52,8 +62,14 @@ def extract_features_batched(
 
     ref_core = ref[core]
     dist_core = dist[core]
-    vif = vif_features_batched(ref_core, dist_core, gain_limit=vif_gain,
-                               variant=vif_variant)
+    if backend == "pallas":
+        from pqa2_tpu.ops.pallas_vif import vif_features_pallas
+
+        vif = vif_features_pallas(ref_core, dist_core, gain_limit=vif_gain,
+                                  variant=vif_variant)
+    else:
+        vif = vif_features_batched(ref_core, dist_core, gain_limit=vif_gain,
+                                   variant=vif_variant)
     adm2 = adm_features_batched(ref_core, dist_core, gain_limit=adm_gain)
 
     return {

@@ -242,3 +242,31 @@ def test_aligner_motion_compensation(clip_pair, tmp_path):
     # Without compensation a 6px shift destroys VIF/ADM; with it the pair is
     # near-identical away from the refilled border strips.
     assert results["vmaf_score"] > 80, results["vmaf_score"]
+
+
+def test_device_discovery_fallbacks():
+    """No ffmpeg / no hardware here -> reference fallback tables."""
+    from pqa2_tpu.app.devices import (
+        get_decklink_devices, get_decklink_formats,
+        get_default_intensity_shuttle_formats, map_format_code,
+        test_device_connection,
+    )
+
+    devices = get_decklink_devices()
+    assert "Intensity Shuttle" in devices
+
+    fm = get_decklink_formats("Intensity Shuttle")
+    assert any(f["id"] == "Hp29" for f in fm["formats"])
+    table = get_default_intensity_shuttle_formats()
+    assert table["format_map"]["1920x1080"]
+
+    props = map_format_code("Hp29")
+    assert props["width"] == 1920 and props["frame_rate"] == 29.97
+    assert map_format_code("nope") is None
+
+    status = test_device_connection("Intensity Shuttle")
+    assert status["connected"] is False  # no card in this environment
+
+    om = OptionsManager(settings_file="/tmp/pqa2_devtest_settings.json",
+                        save_debounce_s=0)
+    assert om.get_decklink_devices() == devices

@@ -66,3 +66,17 @@ def test_vif_pallas_neg_gain(rng):
     got = np.asarray(vif_features_pallas(ref, dist, gain_limit=1.0, interpret=True))
     want = np.asarray(vif_features_batched(ref, dist, gain_limit=1.0))
     np.testing.assert_allclose(got, want, rtol=0, atol=2e-4)
+
+
+def test_pipeline_pallas_backend_matches(rng):
+    """extract_features_batched(backend='pallas') == default backend."""
+    from pqa2_tpu.pipeline.features import extract_features_batched
+
+    ref = _frames(rng, n=3, h=64, w=96)
+    dist = np.clip(ref + rng.normal(0, 4, ref.shape), 0, 255).astype(np.float32)
+    a = extract_features_batched(ref, dist)
+    b = extract_features_batched(ref, dist, backend="pallas")
+    for k in a:
+        np.testing.assert_allclose(
+            np.asarray(b[k]), np.asarray(a[k]), rtol=0, atol=2e-4, err_msg=k
+        )
