@@ -170,13 +170,35 @@ def stream_score(
             # (libvmaf normalises high-bit-depth input the same way).
             ref_div = float(1 << (meta.get("ref_depth", 8) - 8))
             dist_div = float(1 << (meta.get("dist_depth", 8) - 8))
-            ref_batch = jnp.asarray(np.stack(ref_y), dtype=jnp.float32) / ref_div
-            dist_batch = jnp.asarray(np.stack(dist_y), dtype=jnp.float32) / dist_div
-            feats = extract_features_batched(
-                ref_batch, dist_batch,
-                has_prev=has_prev, has_next=has_next, **params,
-            )
-            feats_parts.append({k: np.asarray(v) for k, v in feats.items()})
+            ref_np = np.stack(ref_y)
+            dist_np = np.stack(dist_y)
+
+            def run_chunk():
+                rb = jnp.asarray(ref_np, dtype=jnp.float32) / ref_div
+                db = jnp.asarray(dist_np, dtype=jnp.float32) / dist_div
+                out = extract_features_batched(
+                    rb, db, has_prev=has_prev, has_next=has_next, **params,
+                )
+                return {k: np.asarray(v) for k, v in out.items()}
+
+            # Per-chunk retry on transient device faults (preemption, flaky
+            # interconnect) — the TPU-side analog of the reference's
+            # retry_attempts posture (SURVEY.md section 5.3).
+            attempts = 0
+            while True:
+                try:
+                    feats_parts.append(run_chunk())
+                    break
+                except Exception as e:
+                    attempts += 1
+                    if attempts > 2 or "UNAVAILABLE" not in str(e):
+                        raise
+                    logger.warning(
+                        "chunk scoring failed (%s); retry %d/2", e, attempts
+                    )
+                    import time as _time
+
+                    _time.sleep(5.0 * attempts)
 
             if with_psnr or with_ssim:
                 r_y = np.stack([f["y"] for f in ref_frames]).astype(np.float32)

@@ -80,3 +80,24 @@ def test_pipeline_pallas_backend_matches(rng):
         np.testing.assert_allclose(
             np.asarray(b[k]), np.asarray(a[k]), rtol=0, atol=2e-4, err_msg=k
         )
+
+
+def test_ssim_pallas_matches_jnp(rng):
+    from pqa2_tpu.ops.pallas_ssim import ssim_plane_pallas
+    from pqa2_tpu.ops.ssim import ssim_plane_batched
+
+    for h, w in ((64, 96), (52, 68)):  # second: non-multiple-of-4 crop
+        ref = rng.integers(0, 256, (2, h, w)).astype(np.float32)
+        dist = np.clip(ref + rng.normal(0, 8, ref.shape), 0, 255).astype(np.float32)
+        got = np.asarray(ssim_plane_pallas(ref, dist, tile_b=4, interpret=True))
+        want = np.asarray(ssim_plane_batched(ref, dist))
+        np.testing.assert_allclose(got, want, rtol=0, atol=1e-5,
+                                   err_msg=f"{h}x{w}")
+
+
+def test_ssim_pallas_identity(rng):
+    from pqa2_tpu.ops.pallas_ssim import ssim_plane_pallas
+
+    ref = rng.integers(0, 256, (1, 32, 48)).astype(np.float32)
+    got = np.asarray(ssim_plane_pallas(ref, ref, interpret=True))
+    np.testing.assert_allclose(got, 1.0, atol=1e-6)

@@ -65,3 +65,17 @@ def test_motion_halo_across_shards(rng):
     np.testing.assert_allclose(
         np.asarray(out["motion2"]), whole, rtol=0, atol=1e-4
     )
+
+
+def test_multihost_helpers_single_host():
+    from pqa2_tpu.parallel.multihost import (
+        gather_summaries, initialize, shard_clip_list,
+    )
+
+    assert initialize() is False  # no coordinator configured -> no-op
+    clips = [f"clip{i}" for i in range(7)]
+    assert shard_clip_list(clips) == clips  # single process owns everything
+    assert shard_clip_list(clips, process_id=1, num_processes=3) == [
+        "clip1", "clip4"]
+    summaries = [{"clip": "a", "vmaf": 90.0}]
+    assert gather_summaries(summaries) == summaries
