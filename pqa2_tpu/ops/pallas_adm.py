@@ -1,27 +1,28 @@
 """Fused ADM2 Pallas kernel (one DWT level per pass).
 
 Per level, for a band-row tile resident in VMEM: the db2 DWT of ref and
-dist pixel tiles (column pass via even/odd row split, row pass via even/odd
-column split), decoupling into restoration/additive, Watson-CSF weighting,
-the 3x3 contrast-masking threshold, per-band cube sums of the masked
-restoration (numerator) and CSF'd reference bands (denominator), plus the
-next-level approximation bands written back to HBM.
+dist, decoupling into restoration/additive, Watson-CSF weighting, the 3x3
+contrast-masking threshold, per-band cube sums of the masked restoration
+(numerator) and CSF'd reference bands (denominator), plus the next-level
+approximation bands written back to HBM.
 
 The jnp op (ops/adm.py) materialises ~25 band-sized arrays in HBM per
-level; here the only HBM traffic is the two pixel-tile reads, the two
-a-band writes and one small accumulator.
+level; here the HBM traffic is the polyphase tile reads, the two a-band
+writes and one small accumulator.
 
-Layout notes (same Mosaic conventions as pallas_vif.py):
-  * pixel inputs pre-padded: 3 symmetric rows on top, symmetric + zero
-    lift at the bottom so every tile DMA is contiguous; 1 symmetric column
-    left, then lifted to a multiple of 256 (so band width W2p = Wp/2 is a
-    multiple of 128);
-  * the 3x3 threshold needs one halo band row on each side: each tile
-    computes bt+2 band rows and keeps the middle bt; global band edges
-    duplicate the edge row (the oracle pads the *band* symmetrically,
-    which pixel-domain extension would not reproduce);
-  * cube-sum border trims and the H2 lift are applied as iota masks;
-  * six partial sums (num/den x h/v/d) accumulate into an (8, 128) block.
+Mosaic strategy — no lane-dimension reshapes or arbitrary-offset slices:
+  * the host splits each (padded) input into its four polyphase components
+    (even/odd rows x even/odd cols) with XLA strided slices. In-kernel the
+    DWT then only needs unit-offset sublane slices (rows l, l+1) and
+    single-lane rolls (cols j, j+1):
+        band(g, j) = sum_ab taps[a] taps[b] x_sym[2g-1+a, 2j-1+b]
+    with row tap a -> component row parity a&1, offset g + 1 + (a>>1),
+    col tap b -> component col parity b&1, offset j + (b>>1);
+  * one halo band row each side feeds the 3x3 threshold; global band edges
+    duplicate the edge row (the oracle pads the *band* symmetrically);
+  * cube-sum border trims, width crop and the H2 lift are iota masks;
+  * six partial sums (num/den x h/v/d) accumulate into an (8, 128) block
+    revisited by every row tile.
 """
 
 from __future__ import annotations
@@ -53,67 +54,70 @@ def _make_kernel(tile_b: int, w2: int, w2p: int, h2: int, level: int,
                  gain_limit: float):
     lo = [float(c) for c in DB2_LO]
     hi = [float(c) for c in DB2_HI]
-    rows_in = 2 * tile_b + 6  # pixel rows per tile (covers bt+2 band rows)
+    nb = tile_b + 2       # band rows computed per tile (core + 1 halo each side)
+    comp_rows = nb + 1    # polyphase component rows needed
     fh, fv, fd = csf_rfactors(level)
     trim_h = _trim(h2)
     trim_w = _trim(w2)
 
-    def kernel(ref_hbm, dist_hbm, acc_ref, a_ref_out, a_dist_out, vmem, sem):
-        n = pl.program_id(0)
+    def kernel(ree, reo, roe, roo, dee, deo, doe, doo,
+               acc_ref, a_ref_out, a_dist_out, vmem, sem):
         t = pl.program_id(1)
+        n = pl.program_id(0)
 
-        rt = vmem.at[0, pl.ds(0, rows_in), :]
-        dt = vmem.at[1, pl.ds(0, rows_in), :]
-        cp1 = pltpu.make_async_copy(
-            ref_hbm.at[n, pl.ds(t * 2 * tile_b, rows_in), :], rt, sem.at[0]
-        )
-        cp2 = pltpu.make_async_copy(
-            dist_hbm.at[n, pl.ds(t * 2 * tile_b, rows_in), :], dt, sem.at[1]
-        )
-        cp1.start()
-        cp2.start()
-        cp1.wait()
-        cp2.wait()
+        comps = (ree, reo, roe, roo, dee, deo, doe, doo)
+        for idx in range(8):
+            cp = pltpu.make_async_copy(
+                comps[idx].at[n, pl.ds(t * tile_b, comp_rows), :],
+                vmem.at[idx, pl.ds(0, comp_rows), :],
+                sem.at[idx],
+            )
+            cp.start()
+        for idx in range(8):
+            pltpu.make_async_copy(
+                comps[idx].at[n, pl.ds(t * tile_b, comp_rows), :],
+                vmem.at[idx, pl.ds(0, comp_rows), :],
+                sem.at[idx],
+            ).wait()
 
-        def dwt2(x):
-            """Pixel tile (rows_in, 2*w2p) -> bands (tile_b+2, w2p)."""
-            # Column (H) pass via even/odd row split: band row l uses pixel
-            # rows 2l..2l+3 of the tile.
-            xr = x.reshape(rows_in // 2, 2, 2 * w2p)
-            even = xr[:, 0, :]  # pixel rows 0,2,4,... -> (rows_in/2, 2*w2p)
-            odd = xr[:, 1, :]
-            nb = tile_b + 2
+        def dwt2(base):
+            """Polyphase components base..base+3 -> bands (nb, w2p)."""
+            ee = vmem[base + 0, :comp_rows, :]
+            eo = vmem[base + 1, :comp_rows, :]
+            oe = vmem[base + 2, :comp_rows, :]
+            oo = vmem[base + 3, :comp_rows, :]
 
             def col_pass(taps):
-                return (taps[0] * even[:nb] + taps[1] * odd[:nb]
-                        + taps[2] * even[1 : nb + 1] + taps[3] * odd[1 : nb + 1])
+                # Row taps: a=0 -> even row l, a=1 -> odd row l,
+                #           a=2 -> even row l+1, a=3 -> odd row l+1.
+                e_lo = taps[0] * ee[:nb] + taps[2] * ee[1 : nb + 1]
+                o_lo = taps[1] * oe[:nb] + taps[3] * oe[1 : nb + 1]
+                e_hi = taps[0] * eo[:nb] + taps[2] * eo[1 : nb + 1]
+                o_hi = taps[1] * oo[:nb] + taps[3] * oo[1 : nb + 1]
+                return e_lo + o_lo, e_hi + o_hi  # (even-col, odd-col) planes
 
-            lo_r = col_pass(lo)
-            hi_r = col_pass(hi)
+            lo_e, lo_o = col_pass(lo)
+            hi_e, hi_o = col_pass(hi)
 
-            # Row (W) pass via even/odd column split: band col j uses pixel
-            # cols 2j..2j+3.
-            def row_pass(y, taps):
-                yr = y.reshape(nb, w2p, 2)
-                ev = yr[:, :, 0]
-                od = yr[:, :, 1]
-                # ev[:, j+1] / od[:, j+1]: negative shifts are unsupported,
-                # so roll by dim-1 (junk wraps into the last, masked, col).
-                ev1 = pltpu.roll(ev, w2p - 1, axis=1)
-                od1 = pltpu.roll(od, w2p - 1, axis=1)
-                return taps[0] * ev + taps[1] * od + taps[2] * ev1 + taps[3] * od1
+            def row_pass(pe, po, taps):
+                # Col taps: b=0 -> even col j, b=1 -> odd col j,
+                #           b=2 -> even col j+1, b=3 -> odd col j+1 (rolls).
+                pe1 = pltpu.roll(pe, w2p - 1, axis=1)
+                po1 = pltpu.roll(po, w2p - 1, axis=1)
+                return (taps[0] * pe + taps[1] * po
+                        + taps[2] * pe1 + taps[3] * po1)
 
             return {
-                "a": row_pass(lo_r, lo),
-                "v": row_pass(lo_r, hi),
-                "h": row_pass(hi_r, lo),
-                "d": row_pass(hi_r, hi),
+                "a": row_pass(lo_e, lo_o, lo),
+                "v": row_pass(lo_e, lo_o, hi),
+                "h": row_pass(hi_e, hi_o, lo),
+                "d": row_pass(hi_e, hi_o, hi),
             }
 
-        o = dwt2(vmem[0, :rows_in, :])
-        td = dwt2(vmem[1, :rows_in, :])
+        o = dwt2(0)
+        td = dwt2(4)
 
-        # -- decouple (golden/adm.py:decouple) on all bt+2 band rows --------
+        # -- decouple (golden/adm.py:decouple) on all nb band rows ----------
         oh, ov, od_b = o["h"], o["v"], o["d"]
         th, tv, td_b = td["h"], td["v"], td["d"]
         ot_dp = oh * th + ov * tv
@@ -142,17 +146,13 @@ def _make_kernel(tile_b: int, w2: int, w2p: int, h2: int, level: int,
             bands.append((ob * f, r * f, jnp.abs(a) * f))  # csf_o, csf_r, |csf_a|
 
         # -- contrast-masking threshold (3x3 sum, centre doubled, /30) ------
-        # Build the 3-band |csf_a| total, then sum a 3x3 neighbourhood with
-        # band-edge duplication via rolls + edge masks.
         abs_sum = bands[0][2] + bands[1][2] + bands[2][2]
-
-        n_rows = oh.shape[0]
+        n_rows = shape[0]
 
         def shift_row(x, delta):  # x[l] <- x[l+delta] with global-edge clamp
             y = pltpu.roll(x, (n_rows - delta) % n_rows, axis=0)
             if delta == 1:  # row l+1; invalid when global row == h2-1
                 return jnp.where(row_g >= h2 - 1, x, y)
-            # delta == -1 -> row l-1; invalid when global row == 0
             return jnp.where(row_g <= 0, x, y)
 
         def shift_col(x, delta):
@@ -161,9 +161,7 @@ def _make_kernel(tile_b: int, w2: int, w2p: int, h2: int, level: int,
                 return jnp.where(col_g >= w2 - 1, x, y)
             return jnp.where(col_g <= 0, x, y)
 
-        up = shift_row(abs_sum, -1)
-        down = shift_row(abs_sum, 1)
-        band3 = up + abs_sum + down  # vertical 3-sum with edge clamp
+        band3 = shift_row(abs_sum, -1) + abs_sum + shift_row(abs_sum, 1)
         mt = (shift_col(band3, -1) + band3 + shift_col(band3, 1)
               + abs_sum) / 30.0  # centre counted twice
 
@@ -176,8 +174,7 @@ def _make_kernel(tile_b: int, w2: int, w2p: int, h2: int, level: int,
         for csf_o, csf_r, _ in bands:
             masked = jnp.maximum(jnp.abs(csf_r) - mt, 0.0)
             sums.append(jnp.sum(jnp.where(core, masked ** 3, 0.0)))  # num
-            ao = jnp.abs(csf_o)
-            sums.append(jnp.sum(jnp.where(core, ao ** 3, 0.0)))  # den
+            sums.append(jnp.sum(jnp.where(core, jnp.abs(csf_o) ** 3, 0.0)))
 
         r8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
         c8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
@@ -197,7 +194,7 @@ def _make_kernel(tile_b: int, w2: int, w2p: int, h2: int, level: int,
         a_ref_out[0] = o["a"][1 : 1 + tile_b, :]
         a_dist_out[0] = td["a"][1 : 1 + tile_b, :]
 
-    return kernel, rows_in
+    return kernel, comp_rows
 
 
 @functools.partial(jax.jit, static_argnames=("level", "gain_limit", "tile_b",
@@ -221,37 +218,51 @@ def adm_level_pallas(
     tile_b = min(tile_b, h2)
     num_tiles = -(-h2 // tile_b)
 
-    # Strictly more than w2 lanes: band col w2-1 reads ev/od[w2] via roll,
-    # which would wrap junk if w2 == w2p.
+    # Strictly more than w2 lanes (roll wraps junk into the masked tail).
     w2p = _round_up(w2 + 1, 128)
-    wp = 2 * w2p  # padded pixel width
-    rows_needed = 2 * (num_tiles * tile_b) + 6
+    wp = 2 * w2p
+    # Component rows needed: band rows -1..T*bt, +1 for the (a>>1) offset.
+    comp_rows_total = num_tiles * tile_b + 3
+    rows_needed = 2 * comp_rows_total
 
-    def pad(x):
+    def components(x):
+        """Padded polyphase split: band(g,j) taps read component rows g+1,
+        g+2 and cols j, j+1 (see module docstring)."""
         x = x.astype(jnp.float32)
-        # H: 3 symmetric on top (covers band row -1), symmetric tail + zero
-        # lift; W: 1 symmetric left, symmetric + zero lift to wp.
-        sym_bottom = min(h, max(rows_needed - 3 - h, 0))
-        sym_right = min(w, max(wp - 1 - w, 0))
-        x = jnp.pad(x, ((0, 0), (3, sym_bottom), (1, sym_right)),
-                    mode="symmetric")
+        # X[r, c] = x_sym[r - 2, c - 1]: row tap a=0 reads x_sym[2g-1]
+        # = X[2g+1] = odd component row g... chosen so component row offset
+        # for band row g is g+0/g+1 with parity (a+1)&1. To keep the kernel
+        # mapping (even row first), pad rows by 3 like the derivation:
+        # X[r] = x_sym[r - 3] -> x_sym[2g-1+a] = X[2(g+1)+a].
+        sym_b = min(h, max(rows_needed - 3 - h, 0))
+        sym_r = min(w, max(wp - 1 - w, 0))
+        x = jnp.pad(x, ((0, 0), (3, sym_b), (1, sym_r)), mode="symmetric")
         zh = rows_needed - x.shape[1]
         zw = wp - x.shape[2]
         if zh > 0 or zw > 0:
             x = jnp.pad(x, ((0, 0), (0, max(zh, 0)), (0, max(zw, 0))))
-        return x[:, :rows_needed, :wp]
+        x = x[:, :rows_needed, :wp]
+        # Row tap a for band row g reads X[2(g+1)+a]; with components
+        # E[i]=X[2i], O[i]=X[2i+1]: a=0 -> E[g+1], a=1 -> O[g+1],
+        # a=2 -> E[g+2], a=3 -> O[g+2]. The kernel indexes component row
+        # l = g - (t*tile_b - 1), so shift by one tile-local row: slice the
+        # components starting at row 1 relative to band row -1 of tile 0,
+        # i.e. E/O row (g+1) for g = t*tile_b - 1 + l equals row
+        # t*tile_b + l of E/O.
+        ee = x[:, ::2, ::2]
+        eo = x[:, ::2, 1::2]
+        oe = x[:, 1::2, ::2]
+        oo = x[:, 1::2, 1::2]
+        return ee, eo, oe, oo
 
-    ref_p = pad(ref)
-    dist_p = pad(dist)
+    r_comps = components(ref)
+    d_comps = components(dist)
 
-    kernel, rows_in = _make_kernel(tile_b, w2, w2p, h2, level, gain_limit)
+    kernel, comp_rows = _make_kernel(tile_b, w2, w2p, h2, level, gain_limit)
     acc, a_ref, a_dist = pl.pallas_call(
         kernel,
         grid=(n, num_tiles),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 8,
         out_specs=(
             pl.BlockSpec((1, 8, 128), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -266,11 +277,11 @@ def adm_level_pallas(
             jax.ShapeDtypeStruct((n, num_tiles * tile_b, w2p), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, _round_up(rows_in, 8), wp), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((8, _round_up(comp_rows, 8), w2p), jnp.float32),
+            pltpu.SemaphoreType.DMA((8,)),
         ],
         interpret=interpret,
-    )(ref_p, dist_p)
+    )(*r_comps, *d_comps)
 
     sums = acc[:, 0, :6]
     return sums, a_ref[:, :h2, :w2], a_dist[:, :h2, :w2]

@@ -5,11 +5,11 @@ ref*dist, 2x2 block grouping into overlapping 8x8 windows, the SSIM window
 formula, and a tile-partial sum — all in VMEM. The jnp op (ops/ssim.py)
 materialises four block-sum arrays in HBM between stages.
 
-Tiling: grid (N, T) over block-row groups. A tile owning block rows
-[t*bt, t*bt + bt) needs one extra block row below for the 2x2 grouping, so
-the DMA reads (bt+1)*4 pixel rows; the frame is pre-padded by one zero
-block row and the out-of-range windows masked off via an iota test against
-the true window-row count.
+Mosaic layout (same conventions as pallas_vif.py): per-frame partials
+accumulate into an (8, 128) VMEM block revisited by every row tile
+(zero-initialised at t == 0); width is lifted to a 512-pixel multiple so
+4x4 block columns stay 128-aligned; out-of-range windows (width crop, the
+zero-lift tail, the last window row) are masked via iota tests.
 """
 
 from __future__ import annotations
@@ -27,47 +27,51 @@ from pqa2_tpu.golden.ssim import SSIM_C1, SSIM_C2
 DEFAULT_TILE_BLOCKS = 32  # block rows (x4 = pixel rows) per tile
 
 
-def _make_kernel(tile_b: int, w4: int, n_window_rows: int):
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _make_kernel(tile_b: int, w4: int, w4p: int, n_window_rows: int,
+                 n_window_cols: int):
     rows = (tile_b + 1) * 4
 
-    def kernel(ref_hbm, dist_hbm, sum_ref, vmem, sem):
+    def kernel(ref_hbm, dist_hbm, acc_ref, vmem, sem):
         n = pl.program_id(0)
         t = pl.program_id(1)
 
-        ref_tile = vmem.at[0]
-        dist_tile = vmem.at[1]
+        rt = vmem.at[0, pl.ds(0, rows), :]
+        dt = vmem.at[1, pl.ds(0, rows), :]
         cp1 = pltpu.make_async_copy(
-            ref_hbm.at[n, pl.ds(t * tile_b * 4, rows), :], ref_tile, sem.at[0]
+            ref_hbm.at[n, pl.ds(t * tile_b * 4, rows), :], rt, sem.at[0]
         )
         cp2 = pltpu.make_async_copy(
-            dist_hbm.at[n, pl.ds(t * tile_b * 4, rows), :], dist_tile, sem.at[1]
+            dist_hbm.at[n, pl.ds(t * tile_b * 4, rows), :], dt, sem.at[1]
         )
         cp1.start()
         cp2.start()
         cp1.wait()
         cp2.wait()
 
-        r = ref_tile[:]
-        d = dist_tile[:]
+        r = vmem[0, :rows, :]
+        d = vmem[1, :rows, :]
 
-        def block_sums(x):  # ((tile_b+1)*4, w4*4) -> (tile_b+1, w4)
-            cols = None
-            for j in range(4):
-                term = x[:, j::4]
-                cols = term if cols is None else cols + term
-            out = None
-            for i in range(4):
-                term = cols[i::4, :]
-                out = term if out is None else out + term
-            return out
+        def block_sums(x):  # (rows, w4p*4) -> (tile_b+1, w4p)
+            xr = x.reshape(rows, w4p, 4)
+            cols = xr[:, :, 0] + xr[:, :, 1] + xr[:, :, 2] + xr[:, :, 3]
+            cr = cols.reshape(rows // 4, 4, w4p)
+            return cr[:, 0] + cr[:, 1] + cr[:, 2] + cr[:, 3]
 
         s1 = block_sums(r)
         s2 = block_sums(d)
         ss = block_sums(r * r) + block_sums(d * d)
         s12 = block_sums(r * d)
 
-        def group(a):  # (tile_b+1, w4) -> (tile_b, w4-1)
-            return (a[:-1, :-1] + a[:-1, 1:] + a[1:, :-1] + a[1:, 1:])
+        def group(a):  # (tile_b+1, w4p) -> (tile_b, w4p); col j+1 via roll
+            below = a[1:, :]
+            cur = a[:-1, :]
+            right_cur = pltpu.roll(cur, w4p - 1, axis=1)
+            right_below = pltpu.roll(below, w4p - 1, axis=1)
+            return cur + right_cur + below + right_below
 
         fs1, fs2, fss, fs12 = group(s1), group(s2), group(ss), group(s12)
         vars_ = fss * 64.0 - fs1 * fs1 - fs2 * fs2
@@ -76,10 +80,23 @@ def _make_kernel(tile_b: int, w4: int, n_window_rows: int):
         den = (fs1 * fs1 + fs2 * fs2 + SSIM_C1) * (vars_ + SSIM_C2)
         val = num / den
 
-        # Mask window rows beyond the true frame (zero-padded tail tile).
         row_ids = jax.lax.broadcasted_iota(jnp.int32, val.shape, 0)
-        valid = row_ids + t * tile_b < n_window_rows
-        sum_ref[0, 0] = jnp.sum(jnp.where(valid, val, 0.0))
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, val.shape, 1)
+        valid = ((row_ids + t * tile_b < n_window_rows)
+                 & (col_ids < n_window_cols))
+        tile_sum = jnp.sum(jnp.where(valid, val, 0.0))
+
+        r8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+        c8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+        blk = jnp.where((r8 == 0) & (c8 == 0), tile_sum, 0.0)
+
+        @pl.when(t == 0)
+        def _():
+            acc_ref[0] = blk
+
+        @pl.when(t != 0)
+        def _():
+            acc_ref[0] = acc_ref[0] + blk
 
     return kernel, rows
 
@@ -99,35 +116,38 @@ def ssim_plane_pallas(
     n, h, w = ref.shape
     h4, w4 = h // 4, w // 4
     n_window_rows = h4 - 1
+    n_window_cols = w4 - 1
     tile_b = min(tile_b, h4)
     num_tiles = -(-h4 // tile_b)
 
-    # Crop to block multiples, pad one zero block row + tail-tile lift.
-    lift = num_tiles * tile_b + 1 - h4  # extra block rows needed at bottom
+    # Strictly more block cols than w4 (roll wraps into a masked column).
+    w4p = _round_up(w4 + 1, 128)
+    lift = num_tiles * tile_b + 1 - h4  # extra block rows at the bottom
+
     def prep(x):
         x = x.astype(jnp.float32)[:, : h4 * 4, : w4 * 4]
-        return jnp.pad(x, ((0, 0), (0, lift * 4), (0, 0)))
+        return jnp.pad(x, ((0, 0), (0, lift * 4), (0, (w4p - w4) * 4)))
 
     ref_p = prep(ref)
     dist_p = prep(dist)
 
-    kernel, rows = _make_kernel(tile_b, w4, n_window_rows)
-    sums = pl.pallas_call(
+    kernel, rows = _make_kernel(tile_b, w4, w4p, n_window_rows, n_window_cols)
+    acc = pl.pallas_call(
         kernel,
         grid=(n, num_tiles),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((1, 1), lambda i, j: (i, j),
-                               memory_space=pltpu.SMEM),
-        out_shape=jax.ShapeDtypeStruct((n, num_tiles), jnp.float32),
+        out_specs=pl.BlockSpec((1, 8, 128), lambda i, j: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, 8, 128), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((2, rows, w4 * 4), jnp.float32),
+            pltpu.VMEM((2, _round_up(rows, 8), w4p * 4), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(ref_p, dist_p)
 
-    n_windows = n_window_rows * (w4 - 1)
-    return jnp.sum(sums, axis=1) / n_windows
+    n_windows = n_window_rows * n_window_cols
+    return acc[:, 0, 0] / n_windows

@@ -118,10 +118,13 @@ def _make_kernel(taps: np.ndarray, tile_h: int, w: int, wp128: int,
                 acc = term if acc is None else acc + term
             return acc
 
-        def row_filter(x):  # (tile_h, wp128) -> (tile_h, w)
+        def row_filter(x):  # (tile_h, wp128) -> (tile_h, wp128); cols >= w junk
+            # Lane-dim slices at arbitrary offsets don't lower in Mosaic;
+            # shift with rolls instead and mask the junk tail columns out of
+            # the statistic sums below.
             acc = None
             for i, c in enumerate(taps_f):
-                term = c * x[:, i : i + w]
+                term = c * (x if i == 0 else pltpu.roll(x, wp128 - i, axis=1))
                 acc = term if acc is None else acc + term
             return acc
 
@@ -132,8 +135,10 @@ def _make_kernel(taps: np.ndarray, tile_h: int, w: int, wp128: int,
         xy = row_filter(col_filter(r * d))
 
         num, den = _statistic(mu1, mu2, xx, yy, xy, gain_limit, variant)
-        num_s = jnp.sum(num)
-        den_s = jnp.sum(den)
+        col_id = jax.lax.broadcasted_iota(jnp.int32, num.shape, 1)
+        valid = col_id < w
+        num_s = jnp.sum(jnp.where(valid, num, 0.0))
+        den_s = jnp.sum(jnp.where(valid, den, 0.0))
 
         row_id = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
         col_id = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)

@@ -134,3 +134,35 @@ def test_cv2_scoring_end_to_end(tmp_path, rng):
     results = analyzer.analyze_videos(ref, avi)
     assert results is not None
     assert results["vmaf_score"] > 93, results["vmaf_score"]
+
+
+def test_validate_and_repair(tmp_path, rng):
+    from pqa2_tpu.io.repair import repair_video_file, validate_video_file
+    from pqa2_tpu.io.y4m import write_y4m
+
+    n, h, w = 5, 32, 48
+    frames = [
+        {"y": rng.integers(0, 256, (h, w)).astype(np.uint8),
+         "u": rng.integers(0, 256, (h // 2, w // 2)).astype(np.uint8),
+         "v": rng.integers(0, 256, (h // 2, w // 2)).astype(np.uint8)}
+        for _ in range(n)
+    ]
+    good = str(tmp_path / "good.y4m")
+    write_y4m(good, frames)
+    assert validate_video_file(good)
+    assert not validate_video_file(str(tmp_path / "missing.y4m"))
+    empty = str(tmp_path / "empty.y4m")
+    open(empty, "wb").close()
+    assert not validate_video_file(empty)
+
+    # Truncate mid-frame: salvage keeps the good prefix.
+    data = open(good, "rb").read()
+    trunc = str(tmp_path / "trunc.y4m")
+    open(trunc, "wb").write(data[: len(data) - 300])
+    repaired = repair_video_file(trunc)
+    assert repaired and validate_video_file(repaired)
+    from pqa2_tpu.io.y4m import read_y4m
+
+    _, rec = read_y4m(repaired)
+    assert len(rec) == n - 1
+    np.testing.assert_array_equal(rec[0]["y"], frames[0]["y"])
