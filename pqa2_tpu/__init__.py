@@ -20,3 +20,24 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy top-level convenience API (keeps bare import light)."""
+    if name in ("score_clip", "score_planes", "ClipScores"):
+        from pqa2_tpu.pipeline import scoring
+
+        return getattr(scoring, name)
+    if name == "stream_score":
+        from pqa2_tpu.pipeline.streaming import stream_score
+
+        return stream_score
+    if name in ("VMAFAnalyzer", "BookendAligner", "ReferenceAnalyzer"):
+        import pqa2_tpu.app as app
+
+        return getattr(app, name)
+    if name == "get_model":
+        from pqa2_tpu.models.registry import get_model
+
+        return get_model
+    raise AttributeError(f"module 'pqa2_tpu' has no attribute {name!r}")

@@ -311,3 +311,35 @@ class CaptureManager:
             return True
         self._thread.join(timeout)
         return not self._thread.is_alive()
+
+    # -- preview (synthetic status frames, app/capture.py:489-605) ----------
+
+    def start_preview(self, fps: float = 5.0) -> None:
+        """Emit frame_available with synthetic status frames — the
+        reference draws these with OpenCV when no live signal is shown."""
+        if getattr(self, "_preview_stop", None) is not None:
+            return
+        self._preview_stop = threading.Event()
+
+        def loop():
+            h, w = 180, 320
+            i = 0
+            while not self._preview_stop.is_set():
+                frame = np.full((h, w), 32, np.uint8)
+                frame[10:20, 10 + 4 * (i % 60):14 + 4 * (i % 60)] = 220
+                msg = self.state.name
+                # coarse "text": brightness bars encode the state enum value
+                frame[40:48, 10:10 + 12 * (self.state.value + 1)] = 180
+                self.frame_available.emit(frame)
+                i += 1
+                time.sleep(1.0 / fps)
+
+        self._preview_thread = threading.Thread(target=loop, daemon=True)
+        self._preview_thread.start()
+
+    def stop_preview(self) -> None:
+        stop = getattr(self, "_preview_stop", None)
+        if stop is not None:
+            stop.set()
+            self._preview_thread.join(timeout=2.0)
+            self._preview_stop = None

@@ -71,6 +71,17 @@ class FileManager:
             pass
 
 
+def run_unit_tests(test_dir: str = "tests", extra_args=None) -> int:
+    """pytest wrapper (app/utils.py:322-353 parity); returns the exit code."""
+    import subprocess
+    import sys
+
+    cmd = [sys.executable, "-m", "pytest", test_dir, "-q"]
+    if extra_args:
+        cmd += list(extra_args)
+    return subprocess.run(cmd).returncode
+
+
 def validate_application_state(
     options_manager=None, file_manager=None
 ) -> Dict[str, bool]:

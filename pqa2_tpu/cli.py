@@ -144,6 +144,31 @@ def cmd_batch(args) -> int:
     return 0
 
 
+def cmd_dryrun(args) -> int:
+    """Compile + run the sharded scoring step on an n-device mesh, forcing
+    a virtual CPU mesh when fewer real devices exist (jax must not have
+    initialised a backend yet — this command imports it first)."""
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            f"{flags} --xla_force_host_platform_device_count={args.devices}"
+        ).strip()
+    import jax
+
+    if args.platform:
+        # Must happen before any backend query; config-level because
+        # interpreter startup hooks override the env var.
+        jax.config.update("jax_platforms", args.platform)
+    if jax.device_count() < args.devices:
+        print(f"cannot provide {args.devices} devices", file=sys.stderr)
+        return 1
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __graft_entry__ as graft
+
+    graft.dryrun_multichip(args.devices)
+    return 0
+
+
 def cmd_probe(args) -> int:
     from pqa2_tpu.io.video import probe_video
 
@@ -207,6 +232,12 @@ def main(argv: Optional[List[str]] = None) -> int:
     p = sub.add_parser("probe", help="video metadata")
     p.add_argument("video")
     p.set_defaults(fn=cmd_probe)
+
+    p = sub.add_parser("dryrun", help="multi-chip sharding compile check")
+    p.add_argument("--devices", type=int, default=8)
+    p.add_argument("--platform", default="cpu",
+                   help="cpu (default: virtual mesh) | tpu | '' = leave as-is")
+    p.set_defaults(fn=cmd_dryrun)
 
     p = sub.add_parser("models", help="list packaged models")
     p.set_defaults(fn=cmd_models)

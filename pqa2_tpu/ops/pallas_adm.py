@@ -56,6 +56,7 @@ def _make_kernel(tile_b: int, w2: int, w2p: int, h2: int, level: int,
     hi = [float(c) for c in DB2_HI]
     nb = tile_b + 2       # band rows computed per tile (core + 1 halo each side)
     comp_rows = nb + 1    # polyphase component rows needed
+    comp_rows8 = _round_up(comp_rows, 8)  # Mosaic: 8-aligned DMA extents
     fh, fv, fd = csf_rfactors(level)
     trim_h = _trim(h2)
     trim_w = _trim(w2)
@@ -68,15 +69,15 @@ def _make_kernel(tile_b: int, w2: int, w2p: int, h2: int, level: int,
         comps = (ree, reo, roe, roo, dee, deo, doe, doo)
         for idx in range(8):
             cp = pltpu.make_async_copy(
-                comps[idx].at[n, pl.ds(t * tile_b, comp_rows), :],
-                vmem.at[idx, pl.ds(0, comp_rows), :],
+                comps[idx].at[n, pl.ds(t * tile_b, comp_rows8), :],
+                vmem.at[idx, pl.ds(0, comp_rows8), :],
                 sem.at[idx],
             )
             cp.start()
         for idx in range(8):
             pltpu.make_async_copy(
-                comps[idx].at[n, pl.ds(t * tile_b, comp_rows), :],
-                vmem.at[idx, pl.ds(0, comp_rows), :],
+                comps[idx].at[n, pl.ds(t * tile_b, comp_rows8), :],
+                vmem.at[idx, pl.ds(0, comp_rows8), :],
                 sem.at[idx],
             ).wait()
 
@@ -221,8 +222,10 @@ def adm_level_pallas(
     # Strictly more than w2 lanes (roll wraps junk into the masked tail).
     w2p = _round_up(w2 + 1, 128)
     wp = 2 * w2p
-    # Component rows needed: band rows -1..T*bt, +1 for the (a>>1) offset.
-    comp_rows_total = num_tiles * tile_b + 3
+    # Component rows needed: band rows -1..T*bt, +1 for the (a>>1) offset,
+    # lifted so the last tile's 8-aligned DMA extent stays in bounds.
+    comp_rows8 = _round_up(tile_b + 3, 8)
+    comp_rows_total = (num_tiles - 1) * tile_b + comp_rows8
     rows_needed = 2 * comp_rows_total
 
     def components(x):

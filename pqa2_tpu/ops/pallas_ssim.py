@@ -34,18 +34,19 @@ def _round_up(x: int, m: int) -> int:
 def _make_kernel(tile_b: int, w4: int, w4p: int, n_window_rows: int,
                  n_window_cols: int):
     rows = (tile_b + 1) * 4
+    rows8 = _round_up(rows, 8)  # Mosaic: DMA sublane extents must be 8-aligned
 
     def kernel(ref_hbm, dist_hbm, acc_ref, vmem, sem):
         n = pl.program_id(0)
         t = pl.program_id(1)
 
-        rt = vmem.at[0, pl.ds(0, rows), :]
-        dt = vmem.at[1, pl.ds(0, rows), :]
+        rt = vmem.at[0, pl.ds(0, rows8), :]
+        dt = vmem.at[1, pl.ds(0, rows8), :]
         cp1 = pltpu.make_async_copy(
-            ref_hbm.at[n, pl.ds(t * tile_b * 4, rows), :], rt, sem.at[0]
+            ref_hbm.at[n, pl.ds(t * tile_b * 4, rows8), :], rt, sem.at[0]
         )
         cp2 = pltpu.make_async_copy(
-            dist_hbm.at[n, pl.ds(t * tile_b * 4, rows), :], dt, sem.at[1]
+            dist_hbm.at[n, pl.ds(t * tile_b * 4, rows8), :], dt, sem.at[1]
         )
         cp1.start()
         cp2.start()
@@ -122,11 +123,14 @@ def ssim_plane_pallas(
 
     # Strictly more block cols than w4 (roll wraps into a masked column).
     w4p = _round_up(w4 + 1, 128)
-    lift = num_tiles * tile_b + 1 - h4  # extra block rows at the bottom
+    # Bottom lift covers the grouping halo block row AND the 8-aligned DMA
+    # extent of the last tile.
+    rows8 = _round_up((tile_b + 1) * 4, 8)
+    lift_rows = (num_tiles - 1) * tile_b * 4 + rows8 - h4 * 4
 
     def prep(x):
         x = x.astype(jnp.float32)[:, : h4 * 4, : w4 * 4]
-        return jnp.pad(x, ((0, 0), (0, lift * 4), (0, (w4p - w4) * 4)))
+        return jnp.pad(x, ((0, 0), (0, max(lift_rows, 0)), (0, (w4p - w4) * 4)))
 
     ref_p = prep(ref)
     dist_p = prep(dist)

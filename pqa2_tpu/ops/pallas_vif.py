@@ -28,6 +28,7 @@ reference consumes those via lavfi, app/vmaf_analyzer.py:406).
 from __future__ import annotations
 
 import functools
+import math
 from typing import Tuple
 
 import jax
@@ -54,7 +55,8 @@ def _statistic(mu1, mu2, xx, yy, xy, gain_limit, variant):
         sigma12 = xy - mu1 * mu2
         log_branch = sigma1_sq >= SIGMA_NSQ
         g = jnp.where(sigma12 > 0.0, sigma12 / jnp.maximum(sigma1_sq, EPS), 0.0)
-        g = jnp.minimum(g, gain_limit)
+        if math.isfinite(gain_limit):  # inf literals can break Mosaic
+            g = jnp.minimum(g, gain_limit)
         sv_sq = jnp.maximum(sigma2_sq - g * sigma12, 0.0)
         num_log = jnp.log2(1.0 + g * g * sigma1_sq / (sv_sq + SIGMA_NSQ))
         den_log = jnp.log2(1.0 + sigma1_sq / SIGMA_NSQ)
@@ -78,7 +80,8 @@ def _statistic(mu1, mu2, xx, yy, xy, gain_limit, variant):
     sv_sq = jnp.where(neg, sigma2_sq, sv_sq)
     g = jnp.where(neg, 0.0, g)
     sv_sq = jnp.maximum(sv_sq, EPS)
-    g = jnp.minimum(g, gain_limit)
+    if math.isfinite(gain_limit):
+        g = jnp.minimum(g, gain_limit)
     num = jnp.log2(1.0 + g * g * sigma1_sq / (sv_sq + SIGMA_NSQ))
     den = jnp.log2(1.0 + sigma1_sq / SIGMA_NSQ)
     return num, den
@@ -89,19 +92,22 @@ def _make_kernel(taps: np.ndarray, tile_h: int, w: int, wp128: int,
     k = len(taps)
     half = k // 2
     rows = tile_h + 2 * half
+    # DMA sublane extents must be 8-aligned on Mosaic; the host pads the
+    # array so the extra rows are readable (never used in compute).
+    rows8 = _round_up(rows, 8)
     taps_f = [float(t) for t in taps]
 
     def kernel(ref_hbm, dist_hbm, acc_ref, vmem, sem):
         n = pl.program_id(0)
         t = pl.program_id(1)
 
-        ref_tile = vmem.at[0, pl.ds(0, rows), :]
-        dist_tile = vmem.at[1, pl.ds(0, rows), :]
+        ref_tile = vmem.at[0, pl.ds(0, rows8), :]
+        dist_tile = vmem.at[1, pl.ds(0, rows8), :]
         cp1 = pltpu.make_async_copy(
-            ref_hbm.at[n, pl.ds(t * tile_h, rows), :], ref_tile, sem.at[0]
+            ref_hbm.at[n, pl.ds(t * tile_h, rows8), :], ref_tile, sem.at[0]
         )
         cp2 = pltpu.make_async_copy(
-            dist_hbm.at[n, pl.ds(t * tile_h, rows), :], dist_tile, sem.at[1]
+            dist_hbm.at[n, pl.ds(t * tile_h, rows8), :], dist_tile, sem.at[1]
         )
         cp1.start()
         cp2.start()
@@ -188,10 +194,16 @@ def vif_scale_sums_pallas(
     half = len(taps) // 2
     wp128 = _round_up(w + 2 * half, 128)
 
+    rows8 = _round_up(tile_h + 2 * half, 8)
+    extra_rows = (num_tiles - 1) * tile_h + rows8 - (h + 2 * half)
+
     def pad(x):
         x = x.astype(jnp.float32)
         x = jnp.pad(x, ((0, 0), (half, half), (half, half)), mode="reflect")
-        return jnp.pad(x, ((0, 0), (0, 0), (0, wp128 - (w + 2 * half))))
+        return jnp.pad(
+            x,
+            ((0, 0), (0, max(extra_rows, 0)), (0, wp128 - (w + 2 * half))),
+        )
 
     ref_p = pad(ref)
     dist_p = pad(dist)

@@ -270,3 +270,20 @@ def test_device_discovery_fallbacks():
     om = OptionsManager(settings_file="/tmp/pqa2_devtest_settings.json",
                         save_debounce_s=0)
     assert om.get_decklink_devices() == devices
+
+
+def test_capture_preview_frames():
+    import time as _time
+
+    cm = CaptureManager()
+    frames = []
+    cm.frame_available.connect(frames.append)
+    cm.start_preview(fps=30.0)
+    _time.sleep(0.3)
+    cm.stop_preview()
+    assert len(frames) >= 2
+    assert frames[0].shape == (180, 320)
+    # preview restartable
+    cm.start_preview(fps=30.0)
+    _time.sleep(0.1)
+    cm.stop_preview()
