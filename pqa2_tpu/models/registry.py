@@ -20,25 +20,40 @@ _DATA_DIR = os.path.join(os.path.dirname(__file__), "data")
 DEFAULT_MODEL = "vmaf_v0.6.1"
 
 
-def available_models() -> List[str]:
-    """Names of all packaged models (without extension)."""
-    if not os.path.isdir(_DATA_DIR):
-        return []
-    return sorted(
-        f[: -len(".npz")] for f in os.listdir(_DATA_DIR) if f.endswith(".npz")
-    )
+def available_models(extra_dir: Optional[str] = None) -> List[str]:
+    """Names of all packaged models (without extension), plus any user
+    model JSONs found in `extra_dir` (the reference's models/-directory
+    scan, app/ui/tabs/analysis_tab.py:1005-1077)."""
+    names = set()
+    if os.path.isdir(_DATA_DIR):
+        names.update(
+            f[: -len(".npz")] for f in os.listdir(_DATA_DIR)
+            if f.endswith(".npz")
+        )
+    if extra_dir and os.path.isdir(extra_dir):
+        names.update(
+            f[: -len(".json")] for f in os.listdir(extra_dir)
+            if f.endswith(".json")
+        )
+    return sorted(names)
 
 
 @functools.lru_cache(maxsize=None)
-def get_model(name: str = DEFAULT_MODEL):
-    """Load a model by registry name, or by path to a libvmaf .json/.npz file."""
+def get_model(name: str = DEFAULT_MODEL, extra_dir: Optional[str] = None):
+    """Load a model by registry name, or by path to a libvmaf .json/.npz file.
+
+    extra_dir: user model directory searched after the packaged registry."""
     if os.path.sep in name or name.endswith((".json", ".npz")):
         if name.endswith(".npz"):
             return load_model_npz(name)
         return load_model(name)
     path = os.path.join(_DATA_DIR, f"{name}.npz")
-    if not os.path.exists(path):
-        raise KeyError(
-            f"unknown model {name!r}; available: {available_models()}"
-        )
-    return load_model_npz(path, name=name)
+    if os.path.exists(path):
+        return load_model_npz(path, name=name)
+    if extra_dir:
+        user_path = os.path.join(extra_dir, f"{name}.json")
+        if os.path.exists(user_path):
+            return load_model(user_path, name=name)
+    raise KeyError(
+        f"unknown model {name!r}; available: {available_models(extra_dir)}"
+    )

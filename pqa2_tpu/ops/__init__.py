@@ -21,3 +21,12 @@ from pqa2_tpu.ops.adm import adm_features_batched
 from pqa2_tpu.ops.motion import blur_batched, motion_features, sad_pairs
 from pqa2_tpu.ops.psnr import psnr_planes_batched
 from pqa2_tpu.ops.ssim import ssim_plane_batched
+from pqa2_tpu.ops.colorspace import (
+    chroma_420_to_444,
+    chroma_422_to_420,
+    chroma_444_to_420,
+    planar_to_uyvy422,
+    rgb_to_yuv,
+    uyvy422_to_planar,
+    yuv_to_rgb,
+)

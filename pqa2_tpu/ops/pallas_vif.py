@@ -87,7 +87,7 @@ def _statistic(mu1, mu2, xx, yy, xy, gain_limit, variant):
     return num, den
 
 
-def _make_kernel(taps: np.ndarray, tile_h: int, w: int, wp128: int,
+def _make_kernel(taps: np.ndarray, tile_h: int, h: int, w: int, wp128: int,
                  gain_limit: float, variant: str):
     k = len(taps)
     half = k // 2
@@ -141,8 +141,10 @@ def _make_kernel(taps: np.ndarray, tile_h: int, w: int, wp128: int,
         xy = row_filter(col_filter(r * d))
 
         num, den = _statistic(mu1, mu2, xx, yy, xy, gain_limit, variant)
+        # Mask junk tail columns and (for ragged heights) rows beyond H.
         col_id = jax.lax.broadcasted_iota(jnp.int32, num.shape, 1)
-        valid = col_id < w
+        row_id = jax.lax.broadcasted_iota(jnp.int32, num.shape, 0)
+        valid = (col_id < w) & (row_id + t * tile_h < h)
         num_s = jnp.sum(jnp.where(valid, num, 0.0))
         den_s = jnp.sum(jnp.where(valid, den, 0.0))
 
@@ -184,13 +186,10 @@ def vif_scale_sums_pallas(
     """
     taps = vif_filter(scale)
     n, h, w = ref.shape
-    tile_h = min(tile_h, h)
-    if h % tile_h != 0:
-        raise ValueError(
-            f"H={h} must be divisible by tile_h={tile_h} "
-            "(choose tile_h via pick_tile_h)"
-        )
-    num_tiles = h // tile_h
+    # Mosaic: intermediate values need 8-aligned sublane extents — tile_h
+    # must be a multiple of 8 (ragged last tiles are masked, not shrunk).
+    tile_h = max(min(tile_h, _round_up(h, 8)) // 8 * 8, 8)
+    num_tiles = -(-h // tile_h)
     half = len(taps) // 2
     wp128 = _round_up(w + 2 * half, 128)
 
@@ -208,7 +207,8 @@ def vif_scale_sums_pallas(
     ref_p = pad(ref)
     dist_p = pad(dist)
 
-    kernel, _, rows = _make_kernel(taps, tile_h, w, wp128, gain_limit, variant)
+    kernel, _, rows = _make_kernel(taps, tile_h, h, w, wp128, gain_limit,
+                                   variant)
     acc = pl.pallas_call(
         kernel,
         grid=(n, num_tiles),
@@ -230,11 +230,8 @@ def vif_scale_sums_pallas(
 
 
 def pick_tile_h(h: int, max_tile: int = DEFAULT_TILE_H) -> int:
-    """Largest divisor of h that is <= max_tile (>= 1)."""
-    for t in range(min(max_tile, h), 0, -1):
-        if h % t == 0:
-            return t
-    return 1
+    """8-aligned tile height <= max_tile (ragged tails are masked)."""
+    return max(min(max_tile, _round_up(h, 8)) // 8 * 8, 8)
 
 
 def vif_features_pallas(
@@ -265,10 +262,9 @@ def vif_features_pallas(
         if scale > 0:
             ref = sep_filter_batched(ref, taps)[:, ::2, ::2]
             dist = sep_filter_batched(dist, taps)[:, ::2, ::2]
-        tile_h = pick_tile_h(ref.shape[1])
         num, den = vif_scale_sums_pallas(
             ref, dist, scale, gain_limit=gain_limit, variant=variant,
-            tile_h=tile_h, interpret=interpret,
+            interpret=interpret,
         )
         feats.append(jnp.where(den > 0, num / den, 1.0))
     return jnp.stack(feats, axis=-1)

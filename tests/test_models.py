@@ -81,3 +81,24 @@ def test_npz_roundtrip_matches_json_parse():
     np.testing.assert_array_equal(j.slopes, n.slopes)
     np.testing.assert_array_equal(j.intercepts, n.intercepts)
     assert j.gamma == n.gamma and j.rho == n.rho
+
+
+def test_user_model_directory(tmp_path):
+    """Custom model JSONs discoverable via extra_dir (reference models/ scan)."""
+    import json as _json
+    import shutil
+
+    from pqa2_tpu.models.registry import available_models, get_model
+
+    # Copy a real libvmaf JSON from the reference as a "user model".
+    src = "/root/reference/models/vmaf_v0.6.1.json"
+    user_dir = str(tmp_path / "user_models")
+    import os as _os
+    _os.makedirs(user_dir)
+    shutil.copy(src, _os.path.join(user_dir, "my_custom.json"))
+
+    names = available_models(extra_dir=user_dir)
+    assert "my_custom" in names and "vmaf_v0.6.1" in names
+    model = get_model("my_custom", extra_dir=user_dir)
+    assert model.n_sv == 211
+    assert model.feature_names[0] == "adm2"

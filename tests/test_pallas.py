@@ -20,12 +20,12 @@ def _frames(rng, n=2, h=64, w=96):
 
 
 def test_pick_tile_h():
-    assert pick_tile_h(1080) == 60
-    assert pick_tile_h(2160) == 60
-    assert pick_tile_h(540) == 60
+    # 8-aligned tiles (Mosaic sublane rule); ragged tails are masked.
+    assert pick_tile_h(1080) == 64
+    assert pick_tile_h(2160) == 64
     assert pick_tile_h(64) == 64
-    assert pick_tile_h(7) == 7
-    assert pick_tile_h(13, max_tile=4) == 1
+    assert pick_tile_h(7) == 8
+    assert pick_tile_h(13, max_tile=4) == 8
 
 
 @pytest.mark.parametrize("scale", [0, 1, 2, 3])
