@@ -101,6 +101,86 @@ def bench_config(name, model_name, n, h, w, iters=4, log=print, backend=None):
     return fps
 
 
+def bench_full(log):
+    """--full: all five BASELINE.json configs, written to BENCH_FULL.json.
+
+    Configs 1-3 are jit-step throughput (HD+PSNR/SSIM, NEG, 4K); config 4
+    is the captured-vs-reference bookend workflow wall-clock; config 5 the
+    multi-clip ladder aggregate."""
+    import tempfile
+
+    import jax
+
+    from pqa2_tpu.io.y4m import write_y4m
+
+    results = {}
+    results["hd_fps"] = bench_config(
+        "1080p vmaf_v0.6.1", "vmaf_v0.6.1", 8, 1080, 1920, log=log)
+    results["neg_fps"] = bench_config(
+        "1080p vmaf_v0.6.1neg", "vmaf_v0.6.1neg", 8, 1080, 1920, log=log)
+    results["uhd_fps"] = bench_config(
+        "4k vmaf_4k_v0.6.1", "vmaf_4k_v0.6.1", 4, 2160, 3840, log=log)
+
+    # Config 4: capture -> align -> score wall clock on a synthetic chain.
+    from pqa2_tpu.app.bookend_aligner import BookendAligner
+    from pqa2_tpu.app.vmaf_analyzer import VMAFAnalyzer
+
+    tmp = tempfile.mkdtemp(prefix="bench_full_")
+    n, h, w = 30, 540, 960
+    ref_y = make_clip_u8(n, h, w, seed=5)
+    mk = lambda ys: [
+        {"y": f, "u": np.full((h // 2, w // 2), 128, np.uint8),
+         "v": np.full((h // 2, w // 2), 128, np.uint8)} for f in ys
+    ]
+    ref_path = os.path.join(tmp, "ref.y4m")
+    write_y4m(ref_path, mk(ref_y))
+    white = np.full((h, w), 235, np.uint8)
+    cap = ([white] * 6 + list(ref_y) + [white] * 6 + list(ref_y)
+           + [white] * 6)
+    cap_path = os.path.join(tmp, "cap.y4m")
+    write_y4m(cap_path, mk(np.stack(cap)))
+    t0 = time.perf_counter()
+    res = BookendAligner().align_bookend_videos(ref_path, cap_path)
+    analyzer = VMAFAnalyzer()
+    analyzer.set_output_directory(tmp)
+    scored = analyzer.analyze_videos(res["aligned_reference"],
+                                     res["aligned_captured"])
+    wall = time.perf_counter() - t0
+    results["bookend_workflow"] = {
+        "frames": scored["frame_count"], "seconds": round(wall, 2),
+        "fps": round(scored["frame_count"] / wall, 2),
+        "vmaf": round(scored["vmaf_score"], 3),
+        "confidence": res["confidence"],
+    }
+    log(f"[bench] bookend workflow: {results['bookend_workflow']}")
+
+    # Config 5: multi-clip ladder.
+    from pqa2_tpu.pipeline.batch import run_batch_suite
+
+    dists = []
+    rng = np.random.default_rng(9)
+    for i, sigma in enumerate((1, 3, 6, 10)):
+        d = np.clip(ref_y.astype(np.int16)
+                    + rng.integers(-sigma, sigma + 1, ref_y.shape), 0, 255
+                    ).astype(np.uint8)
+        p = os.path.join(tmp, f"rung{i}.y4m")
+        write_y4m(p, mk(d))
+        dists.append([ref_path, p])
+    summary = run_batch_suite({"pairs": dists},
+                              out_dir=os.path.join(tmp, "suite"), log=log)
+    results["ladder"] = {
+        "n_clips": summary["n_clips"],
+        "aggregate_fps": summary["aggregate_fps"],
+        "vmaf_range": [min(c["vmaf"] for c in summary["clips"]),
+                       max(c["vmaf"] for c in summary["clips"])],
+    }
+    log(f"[bench] ladder: {results['ladder']}")
+    with open("BENCH_FULL.json", "w") as f:
+        json.dump(results, f, indent=2)
+    log("[bench] wrote BENCH_FULL.json")
+    return results
+
+
 def main():
     import jax
 
@@ -108,13 +188,25 @@ def main():
     platform = jax.devices()[0].platform
     log(f"[bench] backend: {platform} x{jax.device_count()}")
 
+    if "--full" in sys.argv:
+        results = bench_full(log)
+        fps_4k = results["uhd_fps"]
+        print(json.dumps({
+            "metric": "vmaf_4k_fps_per_chip", "value": round(fps_4k, 2),
+            "unit": "frames/sec",
+            "vs_baseline": round(fps_4k / BASELINE_4K_FPS, 2),
+            "full": results, "backend": platform,
+        }, default=str))
+        return
+
     small = platform == "cpu"  # CI/dev fallback; real numbers need the TPU
+    fps_hd = fps_4k = None
+    note = ""
     if small:
         log("[bench] WARNING: cpu backend — reduced shapes, numbers not meaningful")
         fps_hd = bench_config("1080p vmaf_v0.6.1", "vmaf_v0.6.1", 4, 270, 480, log=log)
         fps_4k = bench_config("4k vmaf_4k_v0.6.1", "vmaf_4k_v0.6.1", 2, 540, 960, log=log)
-        fps_hd = fps_4k = None
-        note = ""
+    else:
 
         def with_retry(fn, *a, **kw):
             try:
