@@ -29,7 +29,7 @@ from __future__ import annotations
 
 import functools
 import math
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -87,27 +87,39 @@ def _statistic(mu1, mu2, xx, yy, xy, gain_limit, variant):
     return num, den
 
 
-def _make_kernel(taps: np.ndarray, tile_h: int, h: int, w: int, wp128: int,
-                 gain_limit: float, variant: str):
+def _make_kernel(taps: np.ndarray, tile_h: int, tile_w: int, h: int, w: int,
+                 gain_limit: float, variant: str,
+                 next_taps: Optional[np.ndarray] = None):
     k = len(taps)
     half = k // 2
     rows = tile_h + 2 * half
     # DMA sublane extents must be 8-aligned on Mosaic; the host pads the
     # array so the extra rows are readable (never used in compute).
     rows8 = _round_up(rows, 8)
+    # Lane tile: tile_w valid output columns + one extra 128-lane group so
+    # the row filter's right halo (2*half <= 128) is resident. Lane DMA
+    # offsets (j*tile_w) and extents stay 128-aligned.
+    twp = tile_w + 128
     taps_f = [float(t) for t in taps]
 
-    def kernel(ref_hbm, dist_hbm, acc_ref, vmem, sem):
+    def kernel(ref_hbm, dist_hbm, acc_ref, *rest):
+        if next_taps is not None:
+            ref_next, dist_next, vmem, sem = rest
+        else:
+            vmem, sem = rest
         n = pl.program_id(0)
         t = pl.program_id(1)
+        j = pl.program_id(2)
 
         ref_tile = vmem.at[0, pl.ds(0, rows8), :]
         dist_tile = vmem.at[1, pl.ds(0, rows8), :]
         cp1 = pltpu.make_async_copy(
-            ref_hbm.at[n, pl.ds(t * tile_h, rows8), :], ref_tile, sem.at[0]
+            ref_hbm.at[n, pl.ds(t * tile_h, rows8), pl.ds(j * tile_w, twp)],
+            ref_tile, sem.at[0],
         )
         cp2 = pltpu.make_async_copy(
-            dist_hbm.at[n, pl.ds(t * tile_h, rows8), :], dist_tile, sem.at[1]
+            dist_hbm.at[n, pl.ds(t * tile_h, rows8), pl.ds(j * tile_w, twp)],
+            dist_tile, sem.at[1],
         )
         cp1.start()
         cp2.start()
@@ -117,20 +129,20 @@ def _make_kernel(taps: np.ndarray, tile_h: int, h: int, w: int, wp128: int,
         r = vmem[0, :rows, :]
         d = vmem[1, :rows, :]
 
-        def col_filter(x):  # (rows, wp128) -> (tile_h, wp128)
+        def col_filter(x):  # (rows, twp) -> (tile_h, twp)
             acc = None
             for i, c in enumerate(taps_f):
                 term = c * x[i : i + tile_h, :]
                 acc = term if acc is None else acc + term
             return acc
 
-        def row_filter(x):  # (tile_h, wp128) -> (tile_h, wp128); cols >= w junk
+        def row_filter(x):  # (tile_h, twp) -> (tile_h, twp); cols >= tile_w junk
             # Lane-dim slices at arbitrary offsets don't lower in Mosaic;
             # shift with rolls instead and mask the junk tail columns out of
             # the statistic sums below.
             acc = None
             for i, c in enumerate(taps_f):
-                term = c * (x if i == 0 else pltpu.roll(x, wp128 - i, axis=1))
+                term = c * (x if i == 0 else pltpu.roll(x, twp - i, axis=1))
                 acc = term if acc is None else acc + term
             return acc
 
@@ -140,11 +152,60 @@ def _make_kernel(taps: np.ndarray, tile_h: int, h: int, w: int, wp128: int,
         yy = row_filter(col_filter(d * d))
         xy = row_filter(col_filter(r * d))
 
+        if next_taps is not None:
+            # Emit the next scale's inputs: blur the resident tile with the
+            # NEXT scale's taps (libvmaf blurs with the target scale's filter
+            # before 2x decimation) and take even rows/columns. The resident
+            # halo (half >= half_n) covers the smaller filter's support.
+            k_n = len(next_taps)
+            half_n = k_n // 2
+            off = half - half_n
+            taps_n = [float(c) for c in next_taps]
+
+            def col_filter_n(x):  # (rows, twp) -> (tile_h, twp)
+                acc = None
+                for i, c in enumerate(taps_n):
+                    term = c * x[off + i : off + i + tile_h, :]
+                    acc = term if acc is None else acc + term
+                return acc
+
+            def row_filter_n(x):  # shift left by off+i via rolls
+                acc = None
+                for i, c in enumerate(taps_n):
+                    s = off + i
+                    term = c * (x if s == 0 else pltpu.roll(x, twp - s, axis=1))
+                    acc = term if acc is None else acc + term
+                return acc
+
+            th2, tw2 = tile_h // 2, tile_w // 2
+            # Lane 2x decimation as an MXU dot with a one-hot selection
+            # matrix (built from iota, no extra DMA). HIGHEST precision keeps
+            # the f32 pass-through exact (0/1 entries, exact bf16 splits).
+            sel_r = jax.lax.broadcasted_iota(jnp.int32, (twp, tw2), 0)
+            sel_c = jax.lax.broadcasted_iota(jnp.int32, (twp, tw2), 1)
+            colsel = (sel_r == 2 * sel_c).astype(jnp.float32)
+            row_r = jax.lax.broadcasted_iota(jnp.int32, (th2, tile_h), 0)
+            row_c = jax.lax.broadcasted_iota(jnp.int32, (th2, tile_h), 1)
+            rowsel = (row_c == 2 * row_r).astype(jnp.float32)
+
+            def decimate(x):  # (tile_h, twp) -> (th2, tw2)
+                x = jax.lax.dot(rowsel, x,
+                                precision=jax.lax.Precision.HIGHEST)
+                return jax.lax.dot(x, colsel,
+                                   precision=jax.lax.Precision.HIGHEST)
+
+            ref_next[0] = decimate(row_filter_n(col_filter_n(r)))
+            dist_next[0] = decimate(row_filter_n(col_filter_n(d)))
+
         num, den = _statistic(mu1, mu2, xx, yy, xy, gain_limit, variant)
-        # Mask junk tail columns and (for ragged heights) rows beyond H.
+        # Mask the halo/junk tail columns and ragged row/column tails.
         col_id = jax.lax.broadcasted_iota(jnp.int32, num.shape, 1)
         row_id = jax.lax.broadcasted_iota(jnp.int32, num.shape, 0)
-        valid = (col_id < w) & (row_id + t * tile_h < h)
+        valid = (
+            (col_id < tile_w)
+            & (col_id + j * tile_w < w)
+            & (row_id + t * tile_h < h)
+        )
         num_s = jnp.sum(jnp.where(valid, num, 0.0))
         den_s = jnp.sum(jnp.where(valid, den, 0.0))
 
@@ -155,11 +216,13 @@ def _make_kernel(taps: np.ndarray, tile_h: int, h: int, w: int, wp128: int,
             jnp.where((row_id == 0) & (col_id == 1), den_s, 0.0),
         )
 
-        @pl.when(t == 0)
+        first = (t == 0) & (j == 0)
+
+        @pl.when(first)
         def _():
             acc_ref[0] = blk
 
-        @pl.when(t != 0)
+        @pl.when(jnp.logical_not(first))
         def _():
             acc_ref[0] = acc_ref[0] + blk
 
@@ -168,9 +231,11 @@ def _make_kernel(taps: np.ndarray, tile_h: int, h: int, w: int, wp128: int,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("scale", "gain_limit", "variant", "tile_h", "interpret"),
+    static_argnames=(
+        "scale", "gain_limit", "variant", "tile_h", "interpret", "emit_next",
+    ),
 )
-def vif_scale_sums_pallas(
+def vif_scale_pallas(
     ref: jnp.ndarray,
     dist: jnp.ndarray,
     scale: int,
@@ -178,20 +243,32 @@ def vif_scale_sums_pallas(
     variant: str = "default",
     tile_h: int = DEFAULT_TILE_H,
     interpret: bool = False,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """(N, H, W) pair at this scale's resolution -> per-frame (num, den).
+    emit_next: bool = False,
+):
+    """(N, H, W) pair at this scale's resolution -> (num, den[, ref', dist']).
 
-    The caller handles the blur+decimate between scales (cheap relative to
-    the 5-moment pass) and the final num/den division.
+    With ``emit_next`` the kernel additionally blurs the resident tile with
+    the NEXT scale's taps and writes the 2x-decimated result — the next
+    scale's inputs — straight from VMEM, so no separate full-frame
+    blur+decimate pass ever touches HBM.
     """
     taps = vif_filter(scale)
     n, h, w = ref.shape
     # Mosaic: intermediate values need 8-aligned sublane extents — tile_h
     # must be a multiple of 8 (ragged last tiles are masked, not shrunk).
-    tile_h = max(min(tile_h, _round_up(h, 8)) // 8 * 8, 8)
+    # emit_next also needs tile_h/tile_w even and the half-blocks 8/128
+    # aligned, which 16|tile_h and 256|tile_w guarantee.
+    min_th = 16 if emit_next else 8
+    tile_h = max(min(tile_h, _round_up(h, min_th)) // min_th * min_th, min_th)
     num_tiles = -(-h // tile_h)
     half = len(taps) // 2
-    wp128 = _round_up(w + 2 * half, 128)
+    # Lane tiling: wide frames are split into tile_w-column tiles (each DMA
+    # also reads the next 128-lane group as the row-filter halo) so the
+    # per-tile working set fits Mosaic's scoped-VMEM budget at 4K.
+    wmult = 256 if emit_next else 128
+    tile_w = min(512, _round_up(w, wmult))
+    num_w_tiles = -(-w // tile_w)
+    wpad = num_w_tiles * tile_w + 128
 
     rows8 = _round_up(tile_h + 2 * half, 8)
     extra_rows = (num_tiles - 1) * tile_h + rows8 - (h + 2 * half)
@@ -201,32 +278,67 @@ def vif_scale_sums_pallas(
         x = jnp.pad(x, ((0, 0), (half, half), (half, half)), mode="reflect")
         return jnp.pad(
             x,
-            ((0, 0), (0, max(extra_rows, 0)), (0, wp128 - (w + 2 * half))),
+            ((0, 0), (0, max(extra_rows, 0)), (0, wpad - (w + 2 * half))),
         )
 
     ref_p = pad(ref)
     dist_p = pad(dist)
 
-    kernel, _, rows = _make_kernel(taps, tile_h, h, w, wp128, gain_limit,
-                                   variant)
-    acc = pl.pallas_call(
+    next_taps = vif_filter(scale + 1) if emit_next else None
+    kernel, _, rows = _make_kernel(taps, tile_h, tile_w, h, w, gain_limit,
+                                   variant, next_taps=next_taps)
+    out_specs = [
+        pl.BlockSpec((1, 8, 128), lambda i, j, k2: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [jax.ShapeDtypeStruct((n, 8, 128), jnp.float32)]
+    if emit_next:
+        h2, w2 = (h + 1) // 2, (w + 1) // 2
+        th2, tw2 = tile_h // 2, tile_w // 2
+        out_specs += [
+            pl.BlockSpec((1, th2, tw2), lambda i, j, k2: (i, j, k2),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, th2, tw2), lambda i, j, k2: (i, j, k2),
+                         memory_space=pltpu.VMEM),
+        ]
+        out_shape += [jax.ShapeDtypeStruct((n, h2, w2), jnp.float32)] * 2
+
+    out = pl.pallas_call(
         kernel,
-        grid=(n, num_tiles),
+        grid=(n, num_tiles, num_w_tiles),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((1, 8, 128), lambda i, j: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, 8, 128), jnp.float32),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((2, _round_up(rows, 8), wp128), jnp.float32),
+            pltpu.VMEM((2, _round_up(rows, 8), tile_w + 128), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(ref_p, dist_p)
 
+    acc = out[0]
+    if emit_next:
+        return acc[:, 0, 0], acc[:, 0, 1], out[1], out[2]
     return acc[:, 0, 0], acc[:, 0, 1]
+
+
+def vif_scale_sums_pallas(
+    ref: jnp.ndarray,
+    dist: jnp.ndarray,
+    scale: int,
+    gain_limit: float = float("inf"),
+    variant: str = "default",
+    tile_h: int = DEFAULT_TILE_H,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Back-compat wrapper: per-frame (num, den) sums for one scale."""
+    return vif_scale_pallas(
+        ref, dist, scale, gain_limit=gain_limit, variant=variant,
+        tile_h=tile_h, interpret=interpret, emit_next=False,
+    )
 
 
 def pick_tile_h(h: int, max_tile: int = DEFAULT_TILE_H) -> int:
@@ -243,12 +355,11 @@ def vif_features_pallas(
 ) -> jnp.ndarray:
     """(N, H, W) luma pair -> (N, 4) VIF features via the fused kernels.
 
-    Drop-in equivalent of ops.vif.vif_features_batched; the inter-scale
-    blur+decimate reuses the jnp separable filter (cheap, and XLA fuses the
-    decimation into it).
+    Drop-in equivalent of ops.vif.vif_features_batched. Each scale's kernel
+    emits the next scale's 2x-decimated inputs from VMEM (blurred with the
+    next scale's taps, matching ops/vif.py's sep_filter+[::2, ::2]), so the
+    whole 4-scale cascade reads each input frame from HBM exactly once.
     """
-    from pqa2_tpu.ops.filters import sep_filter_batched
-
     # Mosaic kernels only compile for TPU; interpret transparently elsewhere
     # (tests on the CPU mesh, debugging).
     if not interpret and jax.default_backend() != "tpu":
@@ -258,13 +369,12 @@ def vif_features_pallas(
     dist = dist.astype(jnp.float32)
     feats = []
     for scale in range(4):
-        taps = vif_filter(scale)
-        if scale > 0:
-            ref = sep_filter_batched(ref, taps)[:, ::2, ::2]
-            dist = sep_filter_batched(dist, taps)[:, ::2, ::2]
-        num, den = vif_scale_sums_pallas(
+        out = vif_scale_pallas(
             ref, dist, scale, gain_limit=gain_limit, variant=variant,
-            interpret=interpret,
+            interpret=interpret, emit_next=scale < 3,
         )
+        num, den = out[0], out[1]
+        if scale < 3:
+            ref, dist = out[2], out[3]
         feats.append(jnp.where(den > 0, num / den, 1.0))
     return jnp.stack(feats, axis=-1)
