@@ -217,30 +217,21 @@ def main():
                 return fn(*a, **kw)
 
         # Headline (4K) first — best shot at a healthy tunnel window.
+        # 8-frame batches amortise the tunnel's fixed per-dispatch latency
+        # (~26 ms round trip regardless of payload).
         try:
             fps_4k = with_retry(
                 bench_config, "4k vmaf_4k_v0.6.1", "vmaf_4k_v0.6.1",
-                4, 2160, 3840, log=log)
+                8, 2160, 3840, log=log)
         except Exception as e:
             note = f"4k failed: {e}"
             log(f"[bench] {note}")
         try:
             fps_hd = with_retry(
                 bench_config, "1080p vmaf_v0.6.1", "vmaf_v0.6.1",
-                8, 1080, 1920, log=log)
+                16, 1080, 1920, log=log)
         except Exception as e:
             log(f"[bench] 1080p failed: {e}")
-        # A/B the fused-Pallas kernel backend; keep whichever wins.
-        if fps_4k is not None:
-            try:
-                fps_4k_pallas = bench_config(
-                    "4k vmaf_4k_v0.6.1 [pallas]", "vmaf_4k_v0.6.1",
-                    4, 2160, 3840, log=log, backend="pallas")
-                if fps_4k_pallas > fps_4k:
-                    fps_4k = fps_4k_pallas
-                    note = "pallas backend"
-            except Exception as e:
-                log(f"[bench] pallas backend failed ({e}); keeping xla number")
         if fps_4k is None and fps_hd is not None:
             fps_4k = fps_hd / 4.0  # pixel-count extrapolation, flagged below
             note = (note + "; " if note else "") + "4k estimated from 1080p/4"

@@ -24,9 +24,10 @@ from pqa2_tpu.ops.adm import adm_features_batched
 from pqa2_tpu.ops.motion import motion_features
 from pqa2_tpu.ops.vif import vif_features_batched
 
-# Kernel backend switch: "xla" = jnp shifted-slice ops, "pallas" = fused
-# Pallas kernels where available (currently VIF). Env override for benching.
-KERNEL_BACKEND = os.environ.get("PQA2_KERNEL_BACKEND", "xla")
+# Kernel backend switch: "auto" = fused Pallas VIF + XLA ADM on TPU, all-XLA
+# elsewhere; "xla" = jnp shifted-slice ops everywhere; "pallas" = fused
+# Pallas kernels for both VIF and ADM. Env override for benching.
+KERNEL_BACKEND = os.environ.get("PQA2_KERNEL_BACKEND", "auto")
 
 
 @functools.partial(
@@ -62,16 +63,25 @@ def extract_features_batched(
 
     ref_core = ref[core]
     dist_core = dist[core]
-    if backend == "pallas":
-        from pqa2_tpu.ops.pallas_adm import adm_features_pallas
+    if backend == "auto":
+        # Fused Pallas VIF wins ~6x on TPU; the Pallas ADM's host-side
+        # polyphase split is slower than the XLA ADM there, so "auto" pairs
+        # Pallas VIF with XLA ADM. Off-TPU the Pallas kernels only run in
+        # interpret mode, so everything stays on the XLA path.
+        backend = "vif-pallas" if jax.default_backend() == "tpu" else "xla"
+    if backend in ("pallas", "vif-pallas"):
         from pqa2_tpu.ops.pallas_vif import vif_features_pallas
 
         vif = vif_features_pallas(ref_core, dist_core, gain_limit=vif_gain,
                                   variant=vif_variant)
-        adm2 = adm_features_pallas(ref_core, dist_core, gain_limit=adm_gain)
     else:
         vif = vif_features_batched(ref_core, dist_core, gain_limit=vif_gain,
                                    variant=vif_variant)
+    if backend == "pallas":
+        from pqa2_tpu.ops.pallas_adm import adm_features_pallas
+
+        adm2 = adm_features_pallas(ref_core, dist_core, gain_limit=adm_gain)
+    else:
         adm2 = adm_features_batched(ref_core, dist_core, gain_limit=adm_gain)
 
     return {
