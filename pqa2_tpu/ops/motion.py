@@ -46,9 +46,19 @@ def motion_features(
     (motion[0] = 0; motion2[last] = sad(last-1, last)).
     """
     blurred = blur_batched(frames)
-    n = frames.shape[0]
     # sad_prev[i] = sad(i-1, i) for i in 1..n-1
     sad_prev = sad_pairs(blurred[1:], blurred[:-1])  # (n-1,)
+    return features_from_sad_prev(sad_prev, frames.shape[0],
+                                  has_prev=has_prev, has_next=has_next)
+
+
+def features_from_sad_prev(
+    sad_prev: jnp.ndarray,
+    n: int,
+    has_prev: bool = False,
+    has_next: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(n-1,) consecutive-frame SADs -> (motion, motion2) for core frames."""
 
     lead = 1 if has_prev else 0
     core = slice(lead, n - 1 if has_next else n)

@@ -252,11 +252,12 @@ def adm_level_pallas(
         # components starting at row 1 relative to band row -1 of tile 0,
         # i.e. E/O row (g+1) for g = t*tile_b - 1 + l equals row
         # t*tile_b + l of E/O.
-        ee = x[:, ::2, ::2]
-        eo = x[:, ::2, 1::2]
-        oe = x[:, 1::2, ::2]
-        oo = x[:, 1::2, 1::2]
-        return ee, eo, oe, oo
+        # Single-axis stride + pair-reshape; the double-strided form
+        # x[:, ::2, ::2] lowers to a slow gather on TPU (~8x this form).
+        nn = x.shape[0]
+        xe = x[:, ::2].reshape(nn, rows_needed // 2, wp // 2, 2)
+        xo = x[:, 1::2].reshape(nn, rows_needed // 2, wp // 2, 2)
+        return xe[..., 0], xe[..., 1], xo[..., 0], xo[..., 1]
 
     r_comps = components(ref)
     d_comps = components(dist)

@@ -41,6 +41,7 @@ from pqa2_tpu.golden.filters import vif_filter
 from pqa2_tpu.golden.vif import EPS, SIGMA_MAX_INV, SIGMA_NSQ
 
 DEFAULT_TILE_H = 64
+TILE_W = 512  # lane-tile width; bounded by Mosaic's scoped-VMEM budget
 
 
 def _round_up(x: int, m: int) -> int:
@@ -266,7 +267,7 @@ def vif_scale_pallas(
     # also reads the next 128-lane group as the row-filter halo) so the
     # per-tile working set fits Mosaic's scoped-VMEM budget at 4K.
     wmult = 256 if emit_next else 128
-    tile_w = min(512, _round_up(w, wmult))
+    tile_w = min(TILE_W, _round_up(w, wmult))
     num_w_tiles = -(-w // tile_w)
     wpad = num_w_tiles * tile_w + 128
 

@@ -92,12 +92,21 @@ def vif_features_batched(
     stat = _statistic_default if variant == "default" else _statistic_classic
     ref = ref.astype(jnp.float32)
     dist = dist.astype(jnp.float32)
+    def decimate2(x):
+        # Row-stride + pair-reshape: a double-strided slice x[:, ::2, ::2]
+        # lowers to a slow gather on TPU (~8x the cost of this form).
+        n, hh, ww = x.shape
+        x = x[:, ::2, :]
+        if ww % 2:
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, 1)))
+        return x.reshape(n, (hh + 1) // 2, (ww + 1) // 2, 2)[..., 0]
+
     feats = []
     for scale in range(4):
         taps = vif_filter(scale)
         if scale > 0:
-            ref = sep_filter_batched(ref, taps)[:, ::2, ::2]
-            dist = sep_filter_batched(dist, taps)[:, ::2, ::2]
+            ref = decimate2(sep_filter_batched(ref, taps))
+            dist = decimate2(sep_filter_batched(dist, taps))
         num, den = stat(*_moments(ref, dist, taps), gain_limit)
         feats.append(jnp.where(den > 0, num / den, 1.0))
     return jnp.stack(feats, axis=-1)

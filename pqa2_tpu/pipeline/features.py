@@ -58,17 +58,24 @@ def extract_features_batched(
     dist = dist.astype(jnp.float32)
     core = slice(1 if has_prev else 0, -1 if has_next else None)
 
+    if backend == "auto":
+        # The fused Pallas kernels win on TPU (VIF ~6x, ADM ~1.5x, motion
+        # parity with less HBM pressure). Off-TPU the Pallas kernels only run
+        # in interpret mode, so everything stays on the XLA path there.
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+
     # Motion runs on the *reference* luma only (libvmaf semantics).
-    motion, motion2 = motion_features(ref, has_prev=has_prev, has_next=has_next)
+    if backend in ("pallas", "vif-pallas"):
+        from pqa2_tpu.ops.pallas_motion import motion_features_pallas
+
+        motion, motion2 = motion_features_pallas(ref, has_prev=has_prev,
+                                                 has_next=has_next)
+    else:
+        motion, motion2 = motion_features(ref, has_prev=has_prev,
+                                          has_next=has_next)
 
     ref_core = ref[core]
     dist_core = dist[core]
-    if backend == "auto":
-        # Fused Pallas VIF wins ~6x on TPU; the Pallas ADM's host-side
-        # polyphase split is slower than the XLA ADM there, so "auto" pairs
-        # Pallas VIF with XLA ADM. Off-TPU the Pallas kernels only run in
-        # interpret mode, so everything stays on the XLA path.
-        backend = "vif-pallas" if jax.default_backend() == "tpu" else "xla"
     if backend in ("pallas", "vif-pallas"):
         from pqa2_tpu.ops.pallas_vif import vif_features_pallas
 
