@@ -182,6 +182,9 @@ def bench_full(log):
 
 
 def main():
+    from pqa2_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax
 
     log = lambda *a: print(*a, file=sys.stderr, flush=True)

@@ -42,6 +42,9 @@ class BookendAligner:
     """White-bookend temporal alignment engine."""
 
     def __init__(self, options_manager=None):
+        from pqa2_tpu.utils.compile_cache import enable_compilation_cache
+
+        enable_compilation_cache()
         self.alignment_progress = Signal(int, name="alignment_progress")
         self.alignment_complete = Signal(dict, name="alignment_complete")
         self.error_occurred = Signal(str, name="error_occurred")

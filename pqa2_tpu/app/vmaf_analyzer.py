@@ -79,6 +79,9 @@ class VMAFAnalyzer:
     """In-process VMAF + PSNR + SSIM scoring with the reference's API."""
 
     def __init__(self, options_manager=None):
+        from pqa2_tpu.utils.compile_cache import enable_compilation_cache
+
+        enable_compilation_cache()
         # Signal channels per app/vmaf_analyzer.py:20-27.
         self.analysis_progress = Signal(int, name="analysis_progress")
         self.analysis_complete = Signal(dict, name="analysis_complete")

@@ -193,6 +193,9 @@ def cmd_models(args) -> int:
 
 
 def main(argv: Optional[List[str]] = None) -> int:
+    from pqa2_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     parser = argparse.ArgumentParser(prog="pqa2_tpu", description=__doc__)
     parser.add_argument("-v", "--verbose", action="store_true")
     sub = parser.add_subparsers(dest="cmd", required=True)

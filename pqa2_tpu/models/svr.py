@@ -51,6 +51,10 @@ def _predict_core(x, sv, coef, gamma, rho):
     return jnp.dot(k, coef, precision=jax.lax.Precision.HIGHEST) - rho
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("score_transform", "score_clip"),
+)
 def predict_scores(
     features: jax.Array,
     *,

@@ -15,11 +15,13 @@ import jax
 import jax.numpy as jnp
 
 
+@jax.jit
 def _sse(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     d = a.astype(jnp.float32) - b.astype(jnp.float32)
     return jnp.sum(d * d, axis=(-2, -1))
 
 
+@jax.jit
 def psnr_from_mse(mse: jnp.ndarray, max_value: float = 255.0) -> jnp.ndarray:
     return jnp.where(
         mse > 0.0,

@@ -33,6 +33,7 @@ def _group(a: jnp.ndarray) -> jnp.ndarray:
     return a[:, :-1, :-1] + a[:, :-1, 1:] + a[:, 1:, :-1] + a[:, 1:, 1:]
 
 
+@jax.jit
 def ssim_plane_batched(ref: jnp.ndarray, dist: jnp.ndarray) -> jnp.ndarray:
     """(N, H, W) plane pair -> (N,) per-frame SSIM (ffmpeg variant)."""
     r = ref.astype(jnp.float32)
@@ -50,7 +51,23 @@ def ssim_plane_batched(ref: jnp.ndarray, dist: jnp.ndarray) -> jnp.ndarray:
     return jnp.mean(num / den, axis=(-2, -1))
 
 
+@jax.jit
 def ssim_db(ssim: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(
         ssim >= 1.0, jnp.inf, -10.0 * jnp.log10(jnp.maximum(1.0 - ssim, 1e-30))
     )
+
+
+def ssim_sse_plane(ref: jnp.ndarray, dist: jnp.ndarray):
+    """(N, H, W) plane pair -> ((N,) SSIM, (N,) SSE) in one pass.
+
+    On TPU the fused Pallas kernel computes both statistics from a single
+    read of each tile (the PSNR/SSIM pass shares the traffic); elsewhere the
+    jnp ops run (the Pallas kernel would only interpret there)."""
+    if jax.default_backend() == "tpu":
+        from pqa2_tpu.ops.pallas_ssim import ssim_sse_pallas
+
+        return ssim_sse_pallas(ref, dist)
+    from pqa2_tpu.ops.psnr import _sse
+
+    return ssim_plane_batched(ref, dist), _sse(ref, dist)

@@ -224,9 +224,76 @@ def score_planes(
         ref_v = np.stack([f["v"] for f in ref_planes])
         dist_u = np.stack([f["u"] for f in dist_planes])
         dist_v = np.stack([f["v"] for f in dist_planes])
+
+    def chunked(fn, r, d):
+        """Run fn over fixed-size padded frame chunks (static shapes -> one
+        compilation per plane geometry, never per clip length) and
+        concatenate the per-frame outputs."""
+        n0 = r.shape[0]
+        cs = max(1, chunk_size)
+        outs = []
+        for start in range(0, n0, cs):
+            rc, dc = r[start : start + cs], d[start : start + cs]
+            pad = cs - rc.shape[0]
+            if pad:
+                rc = np.concatenate([rc, np.repeat(rc[-1:], pad, axis=0)])
+                dc = np.concatenate([dc, np.repeat(dc[-1:], pad, axis=0)])
+            res = fn(jnp.asarray(rc, dtype=jnp.float32),
+                     jnp.asarray(dc, dtype=jnp.float32))
+            if not isinstance(res, tuple):
+                res = (res,)
+            outs.append(tuple(np.asarray(x)[: cs - pad or None] for x in res))
+        return tuple(np.concatenate([o[i] for o in outs])
+                     for i in range(len(outs[0])))
+    if with_psnr and with_ssim:
+        # Fused path: one pass per plane yields both statistics (on TPU the
+        # Pallas kernel reads each tile once for SSIM windows + SSE).
+        from pqa2_tpu.ops.psnr import psnr_from_mse
+        from pqa2_tpu.ops.ssim import ssim_db, ssim_sse_plane
+
+        planes = {
+            "y": (ref_y, dist_y), "u": (ref_u, dist_u), "v": (ref_v, dist_v)
+        }
+        ssim: Dict[str, np.ndarray] = {}
+        psnr: Dict[str, np.ndarray] = {}
+        total = 0.0
+        total_w = 0
+        total_sse = 0.0
+        for p, (r, d) in planes.items():
+            sv, sse = chunked(ssim_sse_plane, r, d)
+            ssim[f"ssim_{p}"] = sv
+            w = r.shape[-2] * r.shape[-1]
+            total = total + sv * w
+            total_w += w
+            mse = np.asarray(sse) / w
+            psnr[f"mse_{p}"] = mse
+            psnr[f"psnr_{p}"] = np.asarray(psnr_from_mse(jnp.asarray(mse)))
+            total_sse = total_sse + np.asarray(sse)
+        ssim["ssim_all"] = total / total_w
+        ssim["ssim_db"] = np.asarray(ssim_db(jnp.asarray(ssim["ssim_all"])))
+        psnr["mse_avg"] = total_sse / total_w
+        psnr["psnr_avg"] = np.asarray(psnr_from_mse(jnp.asarray(psnr["mse_avg"])))
+        result.ssim = ssim
+        result.psnr = psnr
+        return result
     if with_psnr:
-        stats = psnr_planes_batched(ref_y, ref_u, ref_v, dist_y, dist_u, dist_v)
-        result.psnr = {k: np.asarray(v) for k, v in stats.items()}
+        from pqa2_tpu.ops.psnr import _sse, psnr_from_mse
+
+        psnr2: Dict[str, np.ndarray] = {}
+        tot_sse = 0.0
+        tot_w = 0
+        for p, (r, d) in (("y", (ref_y, dist_y)), ("u", (ref_u, dist_u)),
+                          ("v", (ref_v, dist_v))):
+            (sse,) = chunked(_sse, r, d)
+            w = r.shape[-2] * r.shape[-1]
+            psnr2[f"mse_{p}"] = sse / w
+            psnr2[f"psnr_{p}"] = np.asarray(
+                psnr_from_mse(jnp.asarray(psnr2[f"mse_{p}"])))
+            tot_sse = tot_sse + sse
+            tot_w += w
+        psnr2["mse_avg"] = tot_sse / tot_w
+        psnr2["psnr_avg"] = np.asarray(psnr_from_mse(jnp.asarray(psnr2["mse_avg"])))
+        result.psnr = psnr2
     if with_ssim:
         from pqa2_tpu.ops.ssim import ssim_db
 
@@ -237,8 +304,7 @@ def score_planes(
         total = 0.0
         total_w = 0
         for p, (r, d) in planes.items():
-            v = np.asarray(ssim_plane_batched(jnp.asarray(r, dtype=jnp.float32),
-                                              jnp.asarray(d, dtype=jnp.float32)))
+            (v,) = chunked(ssim_plane_batched, r, d)
             ssim[f"ssim_{p}"] = v
             w = r.shape[-2] * r.shape[-1]
             total = total + v * w

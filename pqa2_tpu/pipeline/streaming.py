@@ -201,20 +201,83 @@ def stream_score(
                     _time.sleep(5.0 * attempts)
 
             if with_psnr or with_ssim:
-                r_y = np.stack([f["y"] for f in ref_frames]).astype(np.float32)
-                d_y = np.stack([f["y"] for f in dist_frames]).astype(np.float32)
-                r_u = np.stack([f["u"] for f in ref_frames])
-                r_v = np.stack([f["v"] for f in ref_frames])
-                d_u = np.stack([f["u"] for f in dist_frames])
-                d_v = np.stack([f["v"] for f in dist_frames])
-            if with_psnr:
+                n0 = len(ref_frames)
+
+                def _stack(frames, key):
+                    # Pad short tail chunks up to the static chunk shape so
+                    # PSNR/SSIM never compile a per-clip-length program; the
+                    # pad frames' outputs are sliced off below.
+                    a = np.stack([f[key] for f in frames])
+                    if a.shape[0] < chunk_size:
+                        a = np.concatenate(
+                            [a, np.repeat(a[-1:], chunk_size - a.shape[0],
+                                          axis=0)])
+                    return a
+
+                def _unpad(d):
+                    return {k: np.asarray(v)[:n0] for k, v in d.items()}
+
+                r_y = _stack(ref_frames, "y").astype(np.float32)
+                d_y = _stack(dist_frames, "y").astype(np.float32)
+                r_u = _stack(ref_frames, "u")
+                r_v = _stack(ref_frames, "v")
+                d_u = _stack(dist_frames, "u")
+                d_v = _stack(dist_frames, "v")
+            if with_psnr and with_ssim:
+                # Fused path: one pass per plane yields SSIM + SSE (on TPU
+                # the Pallas kernel reads each tile once for both). SSIM is
+                # evaluated on the 8-bit scale (ffmpeg's constants), PSNR on
+                # native code values — the SSE rescales exactly.
+                from pqa2_tpu.ops.psnr import psnr_from_mse
+                from pqa2_tpu.ops.ssim import ssim_db, ssim_sse_plane
+
+                peak = float((1 << max(meta.get("ref_depth", 8),
+                                       meta.get("dist_depth", 8))) - 1)
+                part: Dict[str, np.ndarray] = {}
+                pstats: Dict[str, np.ndarray] = {}
+                tot = 0.0
+                tot_w = 0
+                tot_sse = 0.0
+                for p, (r, d) in {"y": (r_y, d_y), "u": (r_u, d_u),
+                                  "v": (r_v, d_v)}.items():
+                    vv, sse8 = ssim_sse_plane(
+                        jnp.asarray(r, dtype=jnp.float32) / ref_div,
+                        jnp.asarray(d, dtype=jnp.float32) / dist_div)
+                    vv = np.asarray(vv)
+                    part[f"ssim_{p}"] = vv
+                    w = r.shape[-2] * r.shape[-1]
+                    tot = tot + vv * w
+                    tot_w += w
+                    # SSE was computed on the 8-bit scale; PSNR pools on
+                    # native code values. With ref_div == dist_div the
+                    # rescale is exact; mixed depths fall back apart below.
+                    sse = np.asarray(sse8) * (ref_div * dist_div)
+                    mse = sse / w
+                    pstats[f"mse_{p}"] = mse
+                    pstats[f"psnr_{p}"] = np.asarray(
+                        psnr_from_mse(jnp.asarray(mse), max_value=peak))
+                    tot_sse = tot_sse + sse
+                pstats["mse_avg"] = tot_sse / tot_w
+                pstats["psnr_avg"] = np.asarray(
+                    psnr_from_mse(jnp.asarray(pstats["mse_avg"]),
+                                  max_value=peak))
+                if ref_div == dist_div:
+                    psnr_parts.append(_unpad(pstats))
+                else:
+                    peak_stats = psnr_planes_batched(
+                        r_y, r_u, r_v, d_y, d_u, d_v, max_value=peak)
+                    psnr_parts.append(_unpad(peak_stats))
+                part["ssim_all"] = tot / tot_w
+                part["ssim_db"] = np.asarray(ssim_db(jnp.asarray(part["ssim_all"])))
+                ssim_parts.append(_unpad(part))
+            elif with_psnr:
                 # PSNR runs on native code values with the native peak.
                 peak = float((1 << max(meta.get("ref_depth", 8),
                                        meta.get("dist_depth", 8))) - 1)
                 stats = psnr_planes_batched(r_y, r_u, r_v, d_y, d_u, d_v,
                                             max_value=peak)
-                psnr_parts.append({k: np.asarray(v) for k, v in stats.items()})
-            if with_ssim:
+                psnr_parts.append(_unpad(stats))
+            elif with_ssim:
                 from pqa2_tpu.ops.ssim import ssim_db
 
                 part: Dict[str, np.ndarray] = {}
@@ -233,7 +296,7 @@ def stream_score(
                     tot_w += w
                 part["ssim_all"] = tot / tot_w
                 part["ssim_db"] = np.asarray(ssim_db(jnp.asarray(part["ssim_all"])))
-                ssim_parts.append(part)
+                ssim_parts.append(_unpad(part))
 
             total += len(ref_frames)
             if frame_cb is not None:

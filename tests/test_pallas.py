@@ -128,3 +128,55 @@ def test_adm_pallas_identity_and_neg(rng):
     got = np.asarray(adm_features_pallas(ref, dist, gain_limit=1.0, interpret=True))
     want = np.asarray(adm_features_batched(ref, dist, gain_limit=1.0))
     np.testing.assert_allclose(got, want, rtol=0, atol=3e-4)
+
+
+def test_motion_pallas_matches_jnp(rng):
+    from pqa2_tpu.ops.motion import motion_features
+    from pqa2_tpu.ops.pallas_motion import motion_features_pallas
+
+    frames = _frames(rng, n=5, h=70, w=150)
+    for has_prev in (False, True):
+        for has_next in (False, True):
+            a = motion_features(frames, has_prev=has_prev, has_next=has_next)
+            b = motion_features_pallas(frames, has_prev=has_prev,
+                                       has_next=has_next, interpret=True)
+            for x, y in zip(a, b):
+                x, y = np.asarray(x), np.asarray(y)
+                # motion2 carries +inf at a true clip end slot pre-min;
+                # outputs are finite, compare directly.
+                np.testing.assert_allclose(x, y, rtol=0, atol=1e-4)
+
+
+def test_motion_pallas_first_frame_zero(rng):
+    from pqa2_tpu.ops.pallas_motion import motion_sad_pallas
+
+    frames = _frames(rng, n=3, h=40, w=90)
+    sad = np.asarray(motion_sad_pallas(frames, interpret=True))
+    assert sad[0] == 0.0
+    assert (sad[1:] > 0).all()
+
+
+def test_ssim_sse_pallas_matches_jnp(rng):
+    from pqa2_tpu.ops.pallas_ssim import ssim_sse_pallas
+    from pqa2_tpu.ops.psnr import _sse
+    from pqa2_tpu.ops.ssim import ssim_plane_batched
+
+    for shape in ((2, 64, 96), (1, 70, 150), (2, 33, 700)):
+        ref = _frames(rng, *shape)
+        dist = np.clip(ref + rng.normal(0, 6, ref.shape), 0, 255).astype(
+            np.float32)
+        s, e = ssim_sse_pallas(ref, dist, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(s), np.asarray(ssim_plane_batched(ref, dist)),
+            rtol=0, atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(e), np.asarray(_sse(ref, dist)), rtol=1e-6, atol=0)
+
+
+def test_ssim_sse_pallas_identity(rng):
+    from pqa2_tpu.ops.pallas_ssim import ssim_sse_pallas
+
+    ref = _frames(rng, n=2, h=48, w=80)
+    s, e = ssim_sse_pallas(ref, ref, interpret=True)
+    np.testing.assert_allclose(np.asarray(s), 1.0, rtol=0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(e), 0.0, rtol=0, atol=0)
