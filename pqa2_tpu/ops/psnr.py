@@ -30,6 +30,19 @@ def psnr_from_mse(mse: jnp.ndarray, max_value: float = 255.0) -> jnp.ndarray:
     )
 
 
+def psnr_from_mse_np(mse, max_value: float = 255.0):
+    """Host-side variant for per-frame post-processing (the arrays are tiny;
+    a device dispatch would cost more than the math)."""
+    import numpy as np
+
+    mse = np.asarray(mse, dtype=np.float64)
+    return np.where(
+        mse > 0.0,
+        10.0 * np.log10(max_value * max_value / np.maximum(mse, 1e-30)),
+        np.inf,
+    )
+
+
 def psnr_planes_batched(
     ref_y, ref_u, ref_v, dist_y, dist_u, dist_v, max_value: float = 255.0
 ) -> Dict[str, jnp.ndarray]:

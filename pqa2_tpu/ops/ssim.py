@@ -58,6 +58,16 @@ def ssim_db(ssim: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def ssim_db_np(ssim):
+    """Host-side variant for per-frame post-processing."""
+    import numpy as np
+
+    ssim = np.asarray(ssim, dtype=np.float64)
+    return np.where(
+        ssim >= 1.0, np.inf, -10.0 * np.log10(np.maximum(1.0 - ssim, 1e-30))
+    )
+
+
 def ssim_sse_plane(ref: jnp.ndarray, dist: jnp.ndarray):
     """(N, H, W) plane pair -> ((N,) SSIM, (N,) SSE) in one pass.
 

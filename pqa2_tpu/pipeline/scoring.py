@@ -142,7 +142,13 @@ def extract_clip_features(
     if feature_params is None:
         feature_params = model_feature_params(_resolve_model(model)) if model else {}
     n = ref_luma.shape[0]
-    chunk_size = max(1, min(chunk_size, n))
+    # Bucket the chunk size to a power of two <= chunk_size: short clips pad
+    # up to a shared bucket instead of compiling one program per clip length
+    # (28- and 30-frame clips land on the same 32-frame program).
+    bucket = 1
+    while bucket < n and bucket < chunk_size:
+        bucket *= 2
+    chunk_size = max(1, min(chunk_size, bucket))
     parts: List[Dict[str, np.ndarray]] = []
     for start, stop, has_prev, has_next in iter_chunks(n, chunk_size):
         lo = start - (1 if has_prev else 0)
@@ -230,7 +236,9 @@ def score_planes(
         compilation per plane geometry, never per clip length) and
         concatenate the per-frame outputs."""
         n0 = r.shape[0]
-        cs = max(1, chunk_size)
+        cs = 1
+        while cs < n0 and cs < chunk_size:
+            cs *= 2
         outs = []
         for start in range(0, n0, cs):
             rc, dc = r[start : start + cs], d[start : start + cs]
@@ -248,8 +256,8 @@ def score_planes(
     if with_psnr and with_ssim:
         # Fused path: one pass per plane yields both statistics (on TPU the
         # Pallas kernel reads each tile once for SSIM windows + SSE).
-        from pqa2_tpu.ops.psnr import psnr_from_mse
-        from pqa2_tpu.ops.ssim import ssim_db, ssim_sse_plane
+        from pqa2_tpu.ops.psnr import psnr_from_mse_np
+        from pqa2_tpu.ops.ssim import ssim_db_np, ssim_sse_plane
 
         planes = {
             "y": (ref_y, dist_y), "u": (ref_u, dist_u), "v": (ref_v, dist_v)
@@ -267,17 +275,17 @@ def score_planes(
             total_w += w
             mse = np.asarray(sse) / w
             psnr[f"mse_{p}"] = mse
-            psnr[f"psnr_{p}"] = np.asarray(psnr_from_mse(jnp.asarray(mse)))
+            psnr[f"psnr_{p}"] = psnr_from_mse_np(mse)
             total_sse = total_sse + np.asarray(sse)
         ssim["ssim_all"] = total / total_w
-        ssim["ssim_db"] = np.asarray(ssim_db(jnp.asarray(ssim["ssim_all"])))
+        ssim["ssim_db"] = ssim_db_np(ssim["ssim_all"])
         psnr["mse_avg"] = total_sse / total_w
-        psnr["psnr_avg"] = np.asarray(psnr_from_mse(jnp.asarray(psnr["mse_avg"])))
+        psnr["psnr_avg"] = psnr_from_mse_np(psnr["mse_avg"])
         result.ssim = ssim
         result.psnr = psnr
         return result
     if with_psnr:
-        from pqa2_tpu.ops.psnr import _sse, psnr_from_mse
+        from pqa2_tpu.ops.psnr import _sse, psnr_from_mse_np
 
         psnr2: Dict[str, np.ndarray] = {}
         tot_sse = 0.0
@@ -287,15 +295,14 @@ def score_planes(
             (sse,) = chunked(_sse, r, d)
             w = r.shape[-2] * r.shape[-1]
             psnr2[f"mse_{p}"] = sse / w
-            psnr2[f"psnr_{p}"] = np.asarray(
-                psnr_from_mse(jnp.asarray(psnr2[f"mse_{p}"])))
+            psnr2[f"psnr_{p}"] = psnr_from_mse_np(psnr2[f"mse_{p}"])
             tot_sse = tot_sse + sse
             tot_w += w
         psnr2["mse_avg"] = tot_sse / tot_w
-        psnr2["psnr_avg"] = np.asarray(psnr_from_mse(jnp.asarray(psnr2["mse_avg"])))
+        psnr2["psnr_avg"] = psnr_from_mse_np(psnr2["mse_avg"])
         result.psnr = psnr2
     if with_ssim:
-        from pqa2_tpu.ops.ssim import ssim_db
+        from pqa2_tpu.ops.ssim import ssim_db_np
 
         planes = {
             "y": (ref_y, dist_y), "u": (ref_u, dist_u), "v": (ref_v, dist_v)
@@ -310,6 +317,6 @@ def score_planes(
             total = total + v * w
             total_w += w
         ssim["ssim_all"] = total / total_w
-        ssim["ssim_db"] = np.asarray(ssim_db(jnp.asarray(ssim["ssim_all"])))
+        ssim["ssim_db"] = ssim_db_np(ssim["ssim_all"])
         result.ssim = ssim
     return result

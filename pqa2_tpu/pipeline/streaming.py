@@ -228,8 +228,8 @@ def stream_score(
                 # the Pallas kernel reads each tile once for both). SSIM is
                 # evaluated on the 8-bit scale (ffmpeg's constants), PSNR on
                 # native code values — the SSE rescales exactly.
-                from pqa2_tpu.ops.psnr import psnr_from_mse
-                from pqa2_tpu.ops.ssim import ssim_db, ssim_sse_plane
+                from pqa2_tpu.ops.psnr import psnr_from_mse_np
+                from pqa2_tpu.ops.ssim import ssim_db_np, ssim_sse_plane
 
                 peak = float((1 << max(meta.get("ref_depth", 8),
                                        meta.get("dist_depth", 8))) - 1)
@@ -254,13 +254,10 @@ def stream_score(
                     sse = np.asarray(sse8) * (ref_div * dist_div)
                     mse = sse / w
                     pstats[f"mse_{p}"] = mse
-                    pstats[f"psnr_{p}"] = np.asarray(
-                        psnr_from_mse(jnp.asarray(mse), max_value=peak))
+                    pstats[f"psnr_{p}"] = psnr_from_mse_np(mse)
                     tot_sse = tot_sse + sse
                 pstats["mse_avg"] = tot_sse / tot_w
-                pstats["psnr_avg"] = np.asarray(
-                    psnr_from_mse(jnp.asarray(pstats["mse_avg"]),
-                                  max_value=peak))
+                pstats["psnr_avg"] = psnr_from_mse_np(pstats["mse_avg"])
                 if ref_div == dist_div:
                     psnr_parts.append(_unpad(pstats))
                 else:
@@ -268,7 +265,7 @@ def stream_score(
                         r_y, r_u, r_v, d_y, d_u, d_v, max_value=peak)
                     psnr_parts.append(_unpad(peak_stats))
                 part["ssim_all"] = tot / tot_w
-                part["ssim_db"] = np.asarray(ssim_db(jnp.asarray(part["ssim_all"])))
+                part["ssim_db"] = ssim_db_np(part["ssim_all"])
                 ssim_parts.append(_unpad(part))
             elif with_psnr:
                 # PSNR runs on native code values with the native peak.
@@ -278,7 +275,7 @@ def stream_score(
                                             max_value=peak)
                 psnr_parts.append(_unpad(stats))
             elif with_ssim:
-                from pqa2_tpu.ops.ssim import ssim_db
+                from pqa2_tpu.ops.ssim import ssim_db_np
 
                 part: Dict[str, np.ndarray] = {}
                 tot = 0.0
@@ -295,7 +292,7 @@ def stream_score(
                     tot = tot + vv * w
                     tot_w += w
                 part["ssim_all"] = tot / tot_w
-                part["ssim_db"] = np.asarray(ssim_db(jnp.asarray(part["ssim_all"])))
+                part["ssim_db"] = ssim_db_np(part["ssim_all"])
                 ssim_parts.append(_unpad(part))
 
             total += len(ref_frames)
