@@ -146,9 +146,20 @@ def bench_full(log):
     scored = analyzer.analyze_videos(res["aligned_reference"],
                                      res["aligned_captured"])
     wall = time.perf_counter() - t0
+    # Steady-state: a second capture through the already-traced programs —
+    # what a capture-QA session (or service) sees for every run after the
+    # first. The first run pays one-time per-process jit tracing +
+    # compile-cache lookups.
+    t0 = time.perf_counter()
+    res2 = BookendAligner().align_bookend_videos(ref_path, cap_path)
+    scored2 = analyzer.analyze_videos(res2["aligned_reference"],
+                                      res2["aligned_captured"])
+    wall2 = time.perf_counter() - t0
     results["bookend_workflow"] = {
-        "frames": scored["frame_count"], "seconds": round(wall, 2),
-        "fps": round(scored["frame_count"] / wall, 2),
+        "frames": scored["frame_count"],
+        "first_run_seconds": round(wall, 2),
+        "steady_seconds": round(wall2, 2),
+        "steady_fps": round(scored2["frame_count"] / wall2, 2),
         "vmaf": round(scored["vmaf_score"], 3),
         "confidence": res["confidence"],
     }
