@@ -42,9 +42,10 @@ def frame_luma_stats(luma: np.ndarray, chunk_size: int = 64) -> Dict[str, np.nda
     parts = []
     for start in range(0, n, chunk_size):
         chunk = luma[start : start + chunk_size]
-        pad = 0
-        if chunk.shape[0] < chunk_size and n > chunk_size:
-            pad = chunk_size - chunk.shape[0]
+        # Always pad to the static chunk shape — exact-length programs would
+        # compile once per clip length.
+        pad = chunk_size - chunk.shape[0]
+        if pad:
             chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, axis=0)])
         out = _stats_chunk(jnp.asarray(chunk))
         take = chunk.shape[0] - pad

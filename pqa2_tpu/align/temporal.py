@@ -70,6 +70,21 @@ def _thumb_series(luma: jnp.ndarray) -> jnp.ndarray:
     return thumb.reshape(n, 64)
 
 
+def thumb_series(luma: np.ndarray, chunk_size: int = 64) -> np.ndarray:
+    """Chunked/padded _thumb_series: static shapes, so one compilation per
+    frame geometry rather than one per clip length."""
+    n = luma.shape[0]
+    parts = []
+    for start in range(0, n, chunk_size):
+        chunk = luma[start : start + chunk_size]
+        pad = chunk_size - chunk.shape[0]
+        if pad:
+            chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, axis=0)])
+        out = np.asarray(_thumb_series(jnp.asarray(chunk)))
+        parts.append(out[: chunk_size - pad])
+    return np.concatenate(parts)
+
+
 def refine_offset_xcorr(
     ref_series: np.ndarray,
     cap_series: np.ndarray,
@@ -169,8 +184,8 @@ def align_bookend_clips(
     confidence = 0.95  # bookend method baseline (bookend_alignment.py:444)
     offset_delta = 0
     if refine and not is_fallback:
-        ref_series = np.asarray(_thumb_series(jnp.asarray(ref_luma)))
-        cap_series = np.asarray(_thumb_series(jnp.asarray(cap_luma)))
+        ref_series = thumb_series(ref_luma)
+        cap_series = thumb_series(cap_luma)
         n_cmp = min(n_ref, content_stop - content_start)
         offset_delta, corr = refine_offset_xcorr(
             ref_series[:n_cmp], cap_series, content_start

@@ -87,6 +87,9 @@ class BookendAligner:
                     raise FileNotFoundError(f"video file not found: {p}")
             self.alignment_progress.emit(10)
 
+            import time as _time
+
+            t0 = _time.perf_counter()
             with VideoReader(reference_path) as r:
                 ref_info = r.info
                 ref_frames = list(r)
@@ -98,6 +101,7 @@ class BookendAligner:
 
             ref_luma = np.stack([f["y"] for f in ref_frames])
             cap_luma = np.stack([f["y"] for f in cap_frames])
+            t1 = _time.perf_counter()
             self.status_update.emit(
                 "Detecting white bookend frames in captured video..."
             )
@@ -108,6 +112,9 @@ class BookendAligner:
                 fps=cap_info.frame_rate or 30.0,
                 config=self._config(),
             )
+            t2 = _time.perf_counter()
+            logger.debug("align phases: decode %.2fs detect+select %.2fs",
+                         t1 - t0, t2 - t1)
             self.alignment_progress.emit(60)
             self.status_update.emit("Creating aligned videos...")
 
