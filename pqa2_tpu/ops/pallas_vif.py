@@ -90,7 +90,8 @@ def _statistic(mu1, mu2, xx, yy, xy, gain_limit, variant):
 
 def _make_kernel(taps: np.ndarray, tile_h: int, tile_w: int, h: int, w: int,
                  gain_limit: float, variant: str,
-                 next_taps: Optional[np.ndarray] = None):
+                 next_taps: Optional[np.ndarray] = None,
+                 motion_taps: Optional[np.ndarray] = None):
     k = len(taps)
     half = k // 2
     rows = tile_h + 2 * half
@@ -124,6 +125,17 @@ def _make_kernel(taps: np.ndarray, tile_h: int, tile_w: int, h: int, w: int,
         )
         cp1.start()
         cp2.start()
+        if motion_taps is not None:
+            # The previous reference frame's tile — motion SAD comes free
+            # with the resident read (frame 0 pairs with itself -> SAD 0).
+            prev_tile = vmem.at[2, pl.ds(0, rows8), :]
+            cp3 = pltpu.make_async_copy(
+                ref_hbm.at[jnp.maximum(n - 1, 0), pl.ds(t * tile_h, rows8),
+                           pl.ds(j * tile_w, twp)],
+                prev_tile, sem.at[2],
+            )
+            cp3.start()
+            cp3.wait()
         cp1.wait()
         cp2.wait()
 
@@ -210,12 +222,40 @@ def _make_kernel(taps: np.ndarray, tile_h: int, tile_w: int, h: int, w: int,
         num_s = jnp.sum(jnp.where(valid, num, 0.0))
         den_s = jnp.sum(jnp.where(valid, den, 0.0))
 
+        sad_s = None
+        if motion_taps is not None:
+            # 5-tap Gaussian blur of ref[n] and ref[n-1] on the resident
+            # tiles + masked |diff| sum — the motion/motion2 statistic
+            # (ops/motion.py semantics) without its own HBM pass.
+            k_m = len(motion_taps)
+            half_m = k_m // 2
+            off_m = half - half_m
+            taps_m = [float(c) for c in motion_taps]
+
+            def blur_m(x):
+                acc = None
+                for i, c in enumerate(taps_m):
+                    term = c * x[off_m + i : off_m + i + tile_h, :]
+                    acc = term if acc is None else acc + term
+                out = None
+                for i, c in enumerate(taps_m):
+                    s = off_m + i
+                    term = c * (acc if s == 0
+                                else pltpu.roll(acc, twp - s, axis=1))
+                    out = term if out is None else out + term
+                return out
+
+            mdiff = jnp.abs(blur_m(r) - blur_m(vmem[2, :rows, :]))
+            sad_s = jnp.sum(jnp.where(valid, mdiff, 0.0))
+
         row_id = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
         col_id = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
         blk = jnp.where(
             (row_id == 0) & (col_id == 0), num_s,
             jnp.where((row_id == 0) & (col_id == 1), den_s, 0.0),
         )
+        if sad_s is not None:
+            blk = jnp.where((row_id == 0) & (col_id == 2), sad_s, blk)
 
         first = (t == 0) & (j == 0)
 
@@ -234,6 +274,7 @@ def _make_kernel(taps: np.ndarray, tile_h: int, tile_w: int, h: int, w: int,
     jax.jit,
     static_argnames=(
         "scale", "gain_limit", "variant", "tile_h", "interpret", "emit_next",
+        "with_motion",
     ),
 )
 def vif_scale_pallas(
@@ -245,13 +286,17 @@ def vif_scale_pallas(
     tile_h: int = DEFAULT_TILE_H,
     interpret: bool = False,
     emit_next: bool = False,
+    with_motion: bool = False,
 ):
-    """(N, H, W) pair at this scale's resolution -> (num, den[, ref', dist']).
+    """(N, H, W) pair at this scale's resolution ->
+    (num, den[, sad][, ref', dist']).
 
     With ``emit_next`` the kernel additionally blurs the resident tile with
     the NEXT scale's taps and writes the 2x-decimated result — the next
     scale's inputs — straight from VMEM, so no separate full-frame
-    blur+decimate pass ever touches HBM.
+    blur+decimate pass ever touches HBM. With ``with_motion`` (scale 0) it
+    also DMAs the previous frame's ref tile and accumulates the
+    motion-SAD statistic in the same pass.
     """
     taps = vif_filter(scale)
     n, h, w = ref.shape
@@ -286,8 +331,14 @@ def vif_scale_pallas(
     dist_p = pad(dist)
 
     next_taps = vif_filter(scale + 1) if emit_next else None
+    motion_taps = None
+    if with_motion:
+        from pqa2_tpu.golden.filters import motion_filter
+
+        motion_taps = motion_filter()
     kernel, _, rows = _make_kernel(taps, tile_h, tile_w, h, w, gain_limit,
-                                   variant, next_taps=next_taps)
+                                   variant, next_taps=next_taps,
+                                   motion_taps=motion_taps)
     out_specs = [
         pl.BlockSpec((1, 8, 128), lambda i, j, k2: (i, 0, 0),
                      memory_space=pltpu.VMEM),
@@ -314,16 +365,20 @@ def vif_scale_pallas(
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((2, _round_up(rows, 8), tile_w + 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((3 if with_motion else 2, _round_up(rows, 8),
+                        tile_w + 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((3 if with_motion else 2,)),
         ],
         interpret=interpret,
     )(ref_p, dist_p)
 
     acc = out[0]
+    res = [acc[:, 0, 0], acc[:, 0, 1]]
+    if with_motion:
+        res.append(acc[:, 0, 2] / float(h * w))
     if emit_next:
-        return acc[:, 0, 0], acc[:, 0, 1], out[1], out[2]
-    return acc[:, 0, 0], acc[:, 0, 1]
+        res.extend([out[1], out[2]])
+    return tuple(res)
 
 
 def vif_scale_sums_pallas(
@@ -353,13 +408,18 @@ def vif_features_pallas(
     gain_limit: float = float("inf"),
     variant: str = "default",
     interpret: bool = False,
-) -> jnp.ndarray:
+    with_motion: bool = False,
+):
     """(N, H, W) luma pair -> (N, 4) VIF features via the fused kernels.
 
     Drop-in equivalent of ops.vif.vif_features_batched. Each scale's kernel
     emits the next scale's 2x-decimated inputs from VMEM (blurred with the
     next scale's taps, matching ops/vif.py's sep_filter+[::2, ::2]), so the
     whole 4-scale cascade reads each input frame from HBM exactly once.
+
+    With ``with_motion`` the scale-0 kernel also accumulates the per-frame
+    motion SAD (sad(n, n-1) of 5-tap-blurred ref luma; 0 at n=0) and the
+    return becomes ((N, 4) vif, (N,) sad).
     """
     # Mosaic kernels only compile for TPU; interpret transparently elsewhere
     # (tests on the CPU mesh, debugging).
@@ -369,13 +429,21 @@ def vif_features_pallas(
     ref = ref.astype(jnp.float32)
     dist = dist.astype(jnp.float32)
     feats = []
+    sad = None
     for scale in range(4):
         out = vif_scale_pallas(
             ref, dist, scale, gain_limit=gain_limit, variant=variant,
             interpret=interpret, emit_next=scale < 3,
+            with_motion=with_motion and scale == 0,
         )
         num, den = out[0], out[1]
+        rest = list(out[2:])
+        if with_motion and scale == 0:
+            sad = rest.pop(0)
         if scale < 3:
-            ref, dist = out[2], out[3]
+            ref, dist = rest
         feats.append(jnp.where(den > 0, num / den, 1.0))
-    return jnp.stack(feats, axis=-1)
+    vif = jnp.stack(feats, axis=-1)
+    if with_motion:
+        return vif, sad
+    return vif

@@ -64,24 +64,27 @@ def extract_features_batched(
         # in interpret mode, so everything stays on the XLA path there.
         backend = "pallas" if jax.default_backend() == "tpu" else "xla"
 
-    # Motion runs on the *reference* luma only (libvmaf semantics).
-    if backend in ("pallas", "vif-pallas"):
-        from pqa2_tpu.ops.pallas_motion import motion_features_pallas
-
-        motion, motion2 = motion_features_pallas(ref, has_prev=has_prev,
-                                                 has_next=has_next)
-    else:
-        motion, motion2 = motion_features(ref, has_prev=has_prev,
-                                          has_next=has_next)
-
     ref_core = ref[core]
     dist_core = dist[core]
     if backend in ("pallas", "vif-pallas"):
+        # One fused cascade over the full batch (incl. any halo frames):
+        # the scale-0 kernel accumulates the motion SAD alongside its five
+        # moments, so motion costs no extra HBM pass. VIF rows for halo
+        # frames are computed-and-dropped (at most 2 per chunk).
+        from pqa2_tpu.ops.motion import features_from_sad_prev
         from pqa2_tpu.ops.pallas_vif import vif_features_pallas
 
-        vif = vif_features_pallas(ref_core, dist_core, gain_limit=vif_gain,
-                                  variant=vif_variant)
+        vif_all, sad = vif_features_pallas(
+            ref, dist, gain_limit=vif_gain, variant=vif_variant,
+            with_motion=True,
+        )
+        motion, motion2 = features_from_sad_prev(
+            sad[1:], ref.shape[0], has_prev=has_prev, has_next=has_next)
+        vif = vif_all[core]
     else:
+        # Motion runs on the *reference* luma only (libvmaf semantics).
+        motion, motion2 = motion_features(ref, has_prev=has_prev,
+                                          has_next=has_next)
         vif = vif_features_batched(ref_core, dist_core, gain_limit=vif_gain,
                                    variant=vif_variant)
     if backend == "pallas":

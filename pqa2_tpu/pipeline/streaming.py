@@ -254,10 +254,11 @@ def stream_score(
                     sse = np.asarray(sse8) * (ref_div * dist_div)
                     mse = sse / w
                     pstats[f"mse_{p}"] = mse
-                    pstats[f"psnr_{p}"] = psnr_from_mse_np(mse)
+                    pstats[f"psnr_{p}"] = psnr_from_mse_np(mse, max_value=peak)
                     tot_sse = tot_sse + sse
                 pstats["mse_avg"] = tot_sse / tot_w
-                pstats["psnr_avg"] = psnr_from_mse_np(pstats["mse_avg"])
+                pstats["psnr_avg"] = psnr_from_mse_np(pstats["mse_avg"],
+                                                     max_value=peak)
                 if ref_div == dist_div:
                     psnr_parts.append(_unpad(pstats))
                 else:

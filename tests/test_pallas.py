@@ -180,3 +180,20 @@ def test_ssim_sse_pallas_identity(rng):
     s, e = ssim_sse_pallas(ref, ref, interpret=True)
     np.testing.assert_allclose(np.asarray(s), 1.0, rtol=0, atol=1e-6)
     np.testing.assert_allclose(np.asarray(e), 0.0, rtol=0, atol=0)
+
+
+def test_fused_motion_chunked_equals_whole(rng):
+    """The scale-0 kernel's fused motion SAD must agree across chunk
+    boundaries (halo semantics) with the whole-clip jnp path."""
+    from pqa2_tpu.pipeline.scoring import extract_clip_features
+
+    ref = _frames(rng, n=7, h=48, w=80)
+    dist = np.clip(ref + rng.normal(0, 5, ref.shape), 0, 255).astype(
+        np.float32)
+    whole = extract_clip_features(
+        ref, dist, feature_params={"backend": "xla"}, chunk_size=64)
+    chunked = extract_clip_features(
+        ref, dist, feature_params={"backend": "pallas"}, chunk_size=3)
+    for k in whole:
+        np.testing.assert_allclose(chunked[k], whole[k], rtol=0, atol=1e-4,
+                                   err_msg=k)
