@@ -101,6 +101,64 @@ def bench_config(name, model_name, n, h, w, iters=4, log=print, backend=None):
     return fps
 
 
+def bench_config_with_metrics(name, model_name, n, h, w, iters=4, log=print):
+    """Config-1 shape: VMAF + PSNR + SSIM (all three planes) per frame, one
+    jitted step on device buffers (BASELINE.json config 1)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pqa2_tpu.models.registry import get_model
+    from pqa2_tpu.models.svr import ScorePredictor
+    from pqa2_tpu.ops.pallas_ssim import ssim_sse_pallas
+    from pqa2_tpu.pipeline.features import (
+        extract_features_batched,
+        model_feature_params,
+    )
+
+    model = get_model(model_name)
+    params = model_feature_params(model)
+    predictor = ScorePredictor(model)
+
+    @jax.jit
+    def step(ry, dy, ru, du, rv, dv):
+        feats = extract_features_batched(ry, dy, **params)
+        x = jnp.stack([feats[k] for k in model.feature_names], axis=-1)
+        vmaf = predictor(x)
+        ssim_y, sse_y = ssim_sse_pallas(ry, dy)
+        ssim_u, sse_u = ssim_sse_pallas(ru, du)
+        ssim_v, sse_v = ssim_sse_pallas(rv, dv)
+        npix = h * w * 1.5
+        mse = (sse_y + sse_u + sse_v) / npix
+        psnr = jnp.where(mse > 0, 10.0 * jnp.log10(255.0**2 / mse), jnp.inf)
+        wts = jnp.asarray([h * w, h * w / 4, h * w / 4], jnp.float32)
+        ssim = (ssim_y * wts[0] + ssim_u * wts[1] + ssim_v * wts[2]) / wts.sum()
+        return vmaf, psnr, ssim
+
+    def planes(seed):
+        y = make_clip_u8(n, h, w, seed=seed)
+        u = make_clip_u8(n, h // 2, w // 2, seed=seed + 10)
+        v = make_clip_u8(n, h // 2, w // 2, seed=seed + 20)
+        return [jax.device_put(jnp.asarray(p, jnp.float32)) for p in (y, u, v)]
+
+    r = planes(0)
+    d = planes(1)
+    args = (r[0], d[0], r[1], d[1], r[2], d[2])
+    t0 = time.perf_counter()
+    out = jax.block_until_ready(step(*args))
+    compile_s = time.perf_counter() - t0
+    times = []
+    for i in range(iters):
+        dy = d[0] + jnp.float32(0.25 * (i + 1))
+        jax.block_until_ready(dy)
+        t0 = time.perf_counter()
+        jax.block_until_ready(step(args[0], dy, *args[2:]))
+        times.append(time.perf_counter() - t0)
+    fps = n / min(times)
+    log(f"[bench] {name}: {fps:.2f} fps (vmaf+psnr+ssim, {n}x{h}x{w}, "
+        f"best {min(times)*1e3:.1f} ms, compile {compile_s:.1f}s)")
+    return fps
+
+
 def bench_full(log):
     """--full: all five BASELINE.json configs, written to BENCH_FULL.json.
 
@@ -114,6 +172,8 @@ def bench_full(log):
     from pqa2_tpu.io.y4m import write_y4m
 
     results = {}
+    results["hd_full_fps"] = bench_config_with_metrics(
+        "1080p vmaf+psnr+ssim", "vmaf_v0.6.1", 8, 1080, 1920, log=log)
     results["hd_fps"] = bench_config(
         "1080p vmaf_v0.6.1", "vmaf_v0.6.1", 8, 1080, 1920, log=log)
     results["neg_fps"] = bench_config(
