@@ -16,4 +16,8 @@ from pqa2_tpu.parallel.mesh import (
     replicated,
     shard_frames,
 )
-from pqa2_tpu.parallel.scoring import make_sharded_scorer, sharded_extract
+from pqa2_tpu.parallel.scoring import (
+    make_sharded_scorer,
+    make_shardmap_scorer,
+    sharded_extract,
+)

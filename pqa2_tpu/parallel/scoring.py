@@ -30,10 +30,17 @@ def sharded_extract(
     mesh: Mesh,
     **feature_params,
 ) -> Dict[str, jax.Array]:
-    """Feature extraction with explicit frame sharding on inputs."""
+    """Feature extraction with explicit frame sharding on inputs.
+
+    Forces the XLA kernel backend: SPMD-partitioned programs can't split a
+    Pallas custom call, so the pjit path must stay on ops the partitioner
+    understands (it inserts the motion collective-permute and the space-axis
+    filter halos itself). The Pallas kernels scale across chips via
+    make_shardmap_scorer below instead."""
     sh = frame_sharding(mesh)
     ref = jax.lax.with_sharding_constraint(ref, sh)
     dist = jax.lax.with_sharding_constraint(dist, sh)
+    feature_params = dict(feature_params, backend="xla")
     return extract_features_batched(ref, dist, **feature_params)
 
 
@@ -78,5 +85,83 @@ def make_sharded_scorer(
             out["ssim_y"] = ssim_plane_batched(ref, dist)
         out["vmaf"] = jax.lax.with_sharding_constraint(out["vmaf"], score_sharding)
         return out
+
+    return step
+
+
+def make_shardmap_scorer(
+    mesh: Mesh,
+    model: Union[str, VMAFModel, BootstrapModel] = "vmaf_v0.6.1",
+):
+    """Frame-parallel scorer that runs the fused Pallas kernels per shard.
+
+    shard_map splits the frame batch over the "data" axis and runs ordinary
+    single-device code per shard, so the Pallas kernel path (which the SPMD
+    partitioner cannot split — see sharded_extract) scales across chips. The
+    motion halo is one explicit `ppermute` of the shard-edge reference
+    frames; every other feature is frame-local.
+
+    The mesh must put all devices on "data" (space=1); N must divide by the
+    data axis. Returns fn(ref, dist) -> dict with 'vmaf' + per-feature
+    arrays, all (N,).
+    """
+    try:
+        from jax.experimental.shard_map import shard_map
+    except ImportError:  # newer jax
+        from jax import shard_map  # type: ignore
+
+    from jax.sharding import PartitionSpec
+
+    if mesh.shape.get("space", 1) != 1:
+        raise ValueError("make_shardmap_scorer needs a data-only mesh "
+                         "(space=1); use make_sharded_scorer for 2-D")
+    mdl = get_model(model) if isinstance(model, str) else model
+    params = model_feature_params(mdl)
+    predictor = (
+        BootstrapPredictor(mdl)
+        if isinstance(mdl, BootstrapModel)
+        else ScorePredictor(mdl)
+    )
+    names = mdl.feature_names
+    nd = mesh.shape[DATA_AXIS]
+    spec = PartitionSpec(DATA_AXIS)
+
+    def local(ref_blk: jax.Array, dist_blk: jax.Array):
+        # (B, H, W) local frames; attach one ref halo frame each side. The
+        # first shard duplicates its own first frame (SAD 0 -> the exact
+        # clip-start semantics); the last shard's trailing halo is fixed up
+        # globally below.
+        if nd > 1:
+            i = jax.lax.axis_index(DATA_AXIS)
+            fwd = [(s, s + 1) for s in range(nd - 1)]
+            bwd = [(s + 1, s) for s in range(nd - 1)]
+            prev_tail = jax.lax.ppermute(ref_blk[-1], DATA_AXIS, fwd)
+            next_head = jax.lax.ppermute(ref_blk[0], DATA_AXIS, bwd)
+            prev = jnp.where(i == 0, ref_blk[0], prev_tail)
+            nxt = jnp.where(i == nd - 1, ref_blk[-1], next_head)
+        else:
+            prev, nxt = ref_blk[0], ref_blk[-1]
+        ref_full = jnp.concatenate([prev[None], ref_blk, nxt[None]])
+        # dist halos are only sliced off again (VIF/ADM are frame-local).
+        dist_full = jnp.concatenate([dist_blk[:1], dist_blk, dist_blk[-1:]])
+        return extract_features_batched(
+            ref_full, dist_full, has_prev=True, has_next=True, **params
+        )
+
+    @jax.jit
+    def step(ref: jax.Array, dist: jax.Array) -> Dict[str, jax.Array]:
+        feats = shard_map(
+            local, mesh=mesh,
+            in_specs=(spec, spec), out_specs=spec,
+        )(ref, dist)
+        # Global clip end: the duplicated trailing halo gave the last frame a
+        # zero forward SAD; restore motion2[last] = sad(last-1, last).
+        feats = dict(feats)
+        feats["motion2"] = feats["motion2"].at[-1].set(feats["motion"][-1])
+        x = jnp.stack([feats[k] for k in names], axis=-1)
+        if isinstance(mdl, BootstrapModel):
+            vmaf, all_scores = predictor(x)
+            return {"vmaf": vmaf, "vmaf_bootstrap": all_scores, **feats}
+        return {"vmaf": predictor(x), **feats}
 
     return step

@@ -79,3 +79,39 @@ def test_multihost_helpers_single_host():
         "clip1", "clip4"]
     summaries = [{"clip": "a", "vmaf": 90.0}]
     assert gather_summaries(summaries) == summaries
+
+
+def test_shardmap_scorer_matches_single_device():
+    """The shard_map (Pallas-compatible) scorer must match single-device
+    scoring exactly — including motion halos across every shard edge and the
+    global clip-start/end semantics."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from pqa2_tpu.models.registry import get_model
+    from pqa2_tpu.models.svr import ScorePredictor
+    from pqa2_tpu.parallel import make_mesh, make_shardmap_scorer, shard_frames
+    from pqa2_tpu.pipeline.features import (
+        extract_features_batched,
+        model_feature_params,
+    )
+
+    rng = np.random.default_rng(0)
+    ref = rng.integers(0, 255, (16, 72, 96)).astype(np.float32)
+    dist = np.clip(ref + rng.normal(0, 5, ref.shape), 0, 255).astype(np.float32)
+
+    mesh = make_mesh(n_data=8, n_space=1)
+    step = make_shardmap_scorer(mesh, "vmaf_v0.6.1")
+    out = step(shard_frames(ref, mesh), shard_frames(dist, mesh))
+    vm = np.asarray(out["vmaf"])
+
+    m = get_model("vmaf_v0.6.1")
+    feats = extract_features_batched(
+        jnp.asarray(ref), jnp.asarray(dist), **model_feature_params(m))
+    x = jnp.stack([feats[k] for k in m.feature_names], axis=-1)
+    vm1 = np.asarray(ScorePredictor(m)(x))
+    np.testing.assert_allclose(vm, vm1, rtol=0, atol=1e-3)
+    for k in feats:
+        np.testing.assert_allclose(
+            np.asarray(out[k]), np.asarray(feats[k]), rtol=0, atol=1e-4,
+            err_msg=k)
