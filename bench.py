@@ -173,13 +173,13 @@ def bench_full(log):
 
     results = {}
     results["hd_full_fps"] = bench_config_with_metrics(
-        "1080p vmaf+psnr+ssim", "vmaf_v0.6.1", 8, 1080, 1920, log=log)
+        "1080p vmaf+psnr+ssim", "vmaf_v0.6.1", 16, 1080, 1920, log=log)
     results["hd_fps"] = bench_config(
-        "1080p vmaf_v0.6.1", "vmaf_v0.6.1", 8, 1080, 1920, log=log)
+        "1080p vmaf_v0.6.1", "vmaf_v0.6.1", 32, 1080, 1920, log=log)
     results["neg_fps"] = bench_config(
-        "1080p vmaf_v0.6.1neg", "vmaf_v0.6.1neg", 8, 1080, 1920, log=log)
+        "1080p vmaf_v0.6.1neg", "vmaf_v0.6.1neg", 32, 1080, 1920, log=log)
     results["uhd_fps"] = bench_config(
-        "4k vmaf_4k_v0.6.1", "vmaf_4k_v0.6.1", 4, 2160, 3840, log=log)
+        "4k vmaf_4k_v0.6.1", "vmaf_4k_v0.6.1", 16, 2160, 3840, log=log)
 
     # Config 4: capture -> align -> score wall clock on a synthetic chain.
     from pqa2_tpu.app.bookend_aligner import BookendAligner
@@ -296,24 +296,24 @@ def main():
         try:
             fps_4k = with_retry(
                 bench_config, "4k vmaf_4k_v0.6.1", "vmaf_4k_v0.6.1",
-                8, 2160, 3840, log=log)
+                16, 2160, 3840, log=log)
             if fps_4k < 50.0:
                 # The tunnel has post-wedge recovery windows that run 5-50x
-                # slow; a healthy chip measures ~95 fps here. One rest+retry
+                # slow; a healthy chip measures ~110 fps here. One rest+retry
                 # keeps a degraded window from being recorded as the result.
                 log(f"[bench] 4k {fps_4k:.1f} fps looks degraded; "
                     "resting 120s and retrying once")
                 time.sleep(120)
                 fps_4k = max(fps_4k, bench_config(
                     "4k vmaf_4k_v0.6.1 (retry)", "vmaf_4k_v0.6.1",
-                    8, 2160, 3840, log=log))
+                    16, 2160, 3840, log=log))
         except Exception as e:
             note = f"4k failed: {e}"
             log(f"[bench] {note}")
         try:
             fps_hd = with_retry(
                 bench_config, "1080p vmaf_v0.6.1", "vmaf_v0.6.1",
-                16, 1080, 1920, log=log)
+                32, 1080, 1920, log=log)
         except Exception as e:
             log(f"[bench] 1080p failed: {e}")
         if fps_4k is None and fps_hd is not None:
