@@ -179,7 +179,7 @@ def bench_full(log):
     results["neg_fps"] = bench_config(
         "1080p vmaf_v0.6.1neg", "vmaf_v0.6.1neg", 32, 1080, 1920, log=log)
     results["uhd_fps"] = bench_config(
-        "4k vmaf_4k_v0.6.1", "vmaf_4k_v0.6.1", 16, 2160, 3840, log=log)
+        "4k vmaf_4k_v0.6.1", "vmaf_4k_v0.6.1", 32, 2160, 3840, log=log)
 
     # Config 4: capture -> align -> score wall clock on a synthetic chain.
     from pqa2_tpu.app.bookend_aligner import BookendAligner
@@ -294,19 +294,26 @@ def main():
         # 8-frame batches amortise the tunnel's fixed per-dispatch latency
         # (~26 ms round trip regardless of payload).
         try:
-            fps_4k = with_retry(
-                bench_config, "4k vmaf_4k_v0.6.1", "vmaf_4k_v0.6.1",
-                16, 2160, 3840, log=log)
+            try:
+                fps_4k = bench_config(
+                    "4k vmaf_4k_v0.6.1", "vmaf_4k_v0.6.1",
+                    32, 2160, 3840, log=log)
+            except Exception as e:
+                # Memory-pressure fallback: halve the batch.
+                log(f"[bench] 32-frame 4k failed ({e}); falling back to 16")
+                fps_4k = with_retry(
+                    bench_config, "4k vmaf_4k_v0.6.1", "vmaf_4k_v0.6.1",
+                    16, 2160, 3840, log=log)
             if fps_4k < 50.0:
                 # The tunnel has post-wedge recovery windows that run 5-50x
-                # slow; a healthy chip measures ~110 fps here. One rest+retry
+                # slow; a healthy chip measures ~120 fps here. One rest+retry
                 # keeps a degraded window from being recorded as the result.
                 log(f"[bench] 4k {fps_4k:.1f} fps looks degraded; "
                     "resting 120s and retrying once")
                 time.sleep(120)
                 fps_4k = max(fps_4k, bench_config(
                     "4k vmaf_4k_v0.6.1 (retry)", "vmaf_4k_v0.6.1",
-                    16, 2160, 3840, log=log))
+                    32, 2160, 3840, log=log))
         except Exception as e:
             note = f"4k failed: {e}"
             log(f"[bench] {note}")
