@@ -220,8 +220,10 @@ def score_planes(
 ) -> ClipScores:
     """Full scoring from planar YUV frame lists (io.VideoReader output):
     VMAF on luma + optional PSNR/SSIM over all three planes."""
-    ref_y = np.stack([f["y"] for f in ref_planes]).astype(np.float32)
-    dist_y = np.stack([f["y"] for f in dist_planes]).astype(np.float32)
+    # Keep the source dtype: device transfers of uint8 are 4x smaller than
+    # f32 and every op casts on device.
+    ref_y = np.stack([f["y"] for f in ref_planes])
+    dist_y = np.stack([f["y"] for f in dist_planes])
     result = score_clip(ref_y, dist_y, model=model, chunk_size=chunk_size,
                         frame_cb=frame_cb)
 
@@ -246,8 +248,7 @@ def score_planes(
             if pad:
                 rc = np.concatenate([rc, np.repeat(rc[-1:], pad, axis=0)])
                 dc = np.concatenate([dc, np.repeat(dc[-1:], pad, axis=0)])
-            res = fn(jnp.asarray(rc, dtype=jnp.float32),
-                     jnp.asarray(dc, dtype=jnp.float32))
+            res = fn(jnp.asarray(rc), jnp.asarray(dc))
             if not isinstance(res, tuple):
                 res = (res,)
             outs.append(tuple(np.asarray(x)[: cs - pad or None] for x in res))

@@ -174,12 +174,20 @@ def stream_score(
             dist_np = np.stack(dist_y)
 
             def run_chunk():
-                rb = jnp.asarray(ref_np, dtype=jnp.float32) / ref_div
-                db = jnp.asarray(dist_np, dtype=jnp.float32) / dist_div
+                # Transfer the SOURCE dtype (uint8/uint16) and convert on
+                # device — f32 host conversion would quadruple the H2D bytes,
+                # which is the dominant cost of the whole pipeline on hosts
+                # with modest device links.
+                rb = jnp.asarray(ref_np)
+                db = jnp.asarray(dist_np)
+                if ref_div != 1.0:
+                    rb = rb.astype(jnp.float32) / ref_div
+                if dist_div != 1.0:
+                    db = db.astype(jnp.float32) / dist_div
                 out = extract_features_batched(
                     rb, db, has_prev=has_prev, has_next=has_next, **params,
                 )
-                return {k: np.asarray(v) for k, v in out.items()}
+                return {k: np.asarray(v) for k, v in out.items()}, rb, db
 
             # Per-chunk retry on transient device faults (preemption, flaky
             # interconnect) — the TPU-side analog of the reference's
@@ -187,7 +195,8 @@ def stream_score(
             attempts = 0
             while True:
                 try:
-                    feats_parts.append(run_chunk())
+                    feats_np, rb_dev, db_dev = run_chunk()
+                    feats_parts.append(feats_np)
                     break
                 except Exception as e:
                     attempts += 1
@@ -202,27 +211,35 @@ def stream_score(
 
             if with_psnr or with_ssim:
                 n0 = len(ref_frames)
+                lead = 1 if has_prev else 0
 
-                def _stack(frames, key):
-                    # Pad short tail chunks up to the static chunk shape so
-                    # PSNR/SSIM never compile a per-clip-length program; the
-                    # pad frames' outputs are sliced off below.
-                    a = np.stack([f[key] for f in frames])
-                    if a.shape[0] < chunk_size:
-                        a = np.concatenate(
-                            [a, np.repeat(a[-1:], chunk_size - a.shape[0],
-                                          axis=0)])
-                    return a
+                def _pad_dev(x):
+                    # Pad short tail chunks up to the static chunk shape on
+                    # device so PSNR/SSIM never compile a per-clip-length
+                    # program; the pad frames' outputs are sliced off below.
+                    if x.shape[0] < chunk_size:
+                        x = jnp.concatenate(
+                            [x, jnp.repeat(x[-1:], chunk_size - x.shape[0],
+                                           axis=0)])
+                    return x
+
+                def _stack_dev(frames, key, div):
+                    a = jnp.asarray(np.stack([f[key] for f in frames]))
+                    if div != 1.0:
+                        a = a.astype(jnp.float32) / div
+                    return _pad_dev(a)
 
                 def _unpad(d):
                     return {k: np.asarray(v)[:n0] for k, v in d.items()}
 
-                r_y = _stack(ref_frames, "y").astype(np.float32)
-                d_y = _stack(dist_frames, "y").astype(np.float32)
-                r_u = _stack(ref_frames, "u")
-                r_v = _stack(ref_frames, "v")
-                d_u = _stack(dist_frames, "u")
-                d_v = _stack(dist_frames, "v")
+                # Luma reuses the device buffers already uploaded for the
+                # feature pass (core frames, without the motion halo).
+                r_y = _pad_dev(rb_dev[lead : lead + n0])
+                d_y = _pad_dev(db_dev[lead : lead + n0])
+                r_u = _stack_dev(ref_frames, "u", ref_div)
+                r_v = _stack_dev(ref_frames, "v", ref_div)
+                d_u = _stack_dev(dist_frames, "u", dist_div)
+                d_v = _stack_dev(dist_frames, "v", dist_div)
             if with_psnr and with_ssim:
                 # Fused path: one pass per plane yields SSIM + SSE (on TPU
                 # the Pallas kernel reads each tile once for both). SSIM is
@@ -240,9 +257,8 @@ def stream_score(
                 tot_sse = 0.0
                 for p, (r, d) in {"y": (r_y, d_y), "u": (r_u, d_u),
                                   "v": (r_v, d_v)}.items():
-                    vv, sse8 = ssim_sse_plane(
-                        jnp.asarray(r, dtype=jnp.float32) / ref_div,
-                        jnp.asarray(d, dtype=jnp.float32) / dist_div)
+                    # r/d are device arrays already on the 8-bit scale.
+                    vv, sse8 = ssim_sse_plane(r, d)
                     vv = np.asarray(vv)
                     part[f"ssim_{p}"] = vv
                     w = r.shape[-2] * r.shape[-1]
@@ -262,18 +278,43 @@ def stream_score(
                 if ref_div == dist_div:
                     psnr_parts.append(_unpad(pstats))
                 else:
+                    # Mixed bit depths: the 8-bit-scale SSE does not rescale
+                    # to native code values; redo PSNR on native planes.
+                    nat = {
+                        k: (_pad_dev(jnp.asarray(
+                                np.stack([f[k] for f in ref_frames]))),
+                            _pad_dev(jnp.asarray(
+                                np.stack([f[k] for f in dist_frames]))))
+                        for k in ("y", "u", "v")
+                    }
                     peak_stats = psnr_planes_batched(
-                        r_y, r_u, r_v, d_y, d_u, d_v, max_value=peak)
+                        nat["y"][0], nat["u"][0], nat["v"][0],
+                        nat["y"][1], nat["u"][1], nat["v"][1],
+                        max_value=peak)
                     psnr_parts.append(_unpad(peak_stats))
                 part["ssim_all"] = tot / tot_w
                 part["ssim_db"] = ssim_db_np(part["ssim_all"])
                 ssim_parts.append(_unpad(part))
             elif with_psnr:
-                # PSNR runs on native code values with the native peak.
+                # PSNR runs on native code values with the native peak; the
+                # scaled 8-bit buffers rescale exactly for equal depths.
                 peak = float((1 << max(meta.get("ref_depth", 8),
                                        meta.get("dist_depth", 8))) - 1)
-                stats = psnr_planes_batched(r_y, r_u, r_v, d_y, d_u, d_v,
-                                            max_value=peak)
+                if ref_div == dist_div == 1.0:
+                    stats = psnr_planes_batched(r_y, r_u, r_v, d_y, d_u, d_v,
+                                                max_value=peak)
+                else:
+                    nat = {
+                        k: (_pad_dev(jnp.asarray(
+                                np.stack([f[k] for f in ref_frames]))),
+                            _pad_dev(jnp.asarray(
+                                np.stack([f[k] for f in dist_frames]))))
+                        for k in ("y", "u", "v")
+                    }
+                    stats = psnr_planes_batched(
+                        nat["y"][0], nat["u"][0], nat["v"][0],
+                        nat["y"][1], nat["u"][1], nat["v"][1],
+                        max_value=peak)
                 psnr_parts.append(_unpad(stats))
             elif with_ssim:
                 from pqa2_tpu.ops.ssim import ssim_db_np
@@ -283,11 +324,9 @@ def stream_score(
                 tot_w = 0
                 for p, (r, d) in {"y": (r_y, d_y), "u": (r_u, d_u),
                                   "v": (r_v, d_v)}.items():
-                    # ffmpeg's 8x8 SSIM constants are 8-bit; evaluate on the
-                    # 8-bit scale for any depth.
-                    vv = np.asarray(ssim_plane_batched(
-                        jnp.asarray(r, dtype=jnp.float32) / ref_div,
-                        jnp.asarray(d, dtype=jnp.float32) / dist_div))
+                    # ffmpeg's 8x8 SSIM constants are 8-bit; r/d are already
+                    # on the 8-bit scale for any depth.
+                    vv = np.asarray(ssim_plane_batched(r, d))
                     part[f"ssim_{p}"] = vv
                     w = r.shape[-2] * r.shape[-1]
                     tot = tot + vv * w
