@@ -13,7 +13,6 @@ reference (disabled by default).
 
 from __future__ import annotations
 
-import functools
 import logging
 from typing import Tuple
 

@@ -10,7 +10,6 @@ another video scan.
 
 from __future__ import annotations
 
-import functools
 from typing import Dict
 
 import jax

@@ -12,7 +12,7 @@ feature kernels planar luma directly:
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -12,7 +12,8 @@ writes and one small accumulator.
 
 Mosaic strategy — no lane-dimension reshapes or arbitrary-offset slices:
   * the host splits each (padded) input into its four polyphase components
-    (even/odd rows x even/odd cols) with XLA strided slices. In-kernel the
+    (even/odd rows x even/odd cols) via a single-axis stride + pair-reshape
+    (a double-strided slice lowers to a ~8x slower gather). In-kernel the
     DWT then only needs unit-offset sublane slices (rows l, l+1) and
     single-lane rolls (cols j, j+1):
         band(g, j) = sum_ab taps[a] taps[b] x_sym[2g-1+a, 2j-1+b]
@@ -28,8 +29,6 @@ Mosaic strategy — no lane-dimension reshapes or arbitrary-offset slices:
 from __future__ import annotations
 
 import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np
