@@ -197,3 +197,38 @@ def test_fused_motion_chunked_equals_whole(rng):
     for k in whole:
         np.testing.assert_allclose(chunked[k], whole[k], rtol=0, atol=1e-4,
                                    err_msg=k)
+
+
+def test_vif_pallas_tiny_frames(rng):
+    """Edge geometry: frames small enough that scale 3 is a handful of
+    pixels, and widths below one lane tile."""
+    from pqa2_tpu.ops.vif import vif_features_batched
+
+    for shape in ((2, 48, 96), (1, 64, 130)):
+        ref = _frames(rng, *shape)
+        dist = np.clip(ref + rng.normal(0, 5, ref.shape), 0, 255).astype(
+            np.float32)
+        a = np.asarray(vif_features_batched(ref, dist))
+        b = np.asarray(vif_features_pallas(ref, dist, interpret=True))
+        # scale 3 here is only a handful of pixels; f32 reassociation in the
+        # fused decimating blur shows up at ~1e-4 on such tiny sums.
+        np.testing.assert_allclose(a, b, rtol=0, atol=2e-4)
+
+
+def test_vif_pallas_with_motion_matches(rng):
+    from pqa2_tpu.ops.motion import motion_features
+    from pqa2_tpu.ops.vif import vif_features_batched
+
+    ref = _frames(rng, n=4, h=70, w=150)
+    dist = np.clip(ref + rng.normal(0, 5, ref.shape), 0, 255).astype(
+        np.float32)
+    vif, sad = vif_features_pallas(ref, dist, interpret=True,
+                                   with_motion=True)
+    np.testing.assert_allclose(
+        np.asarray(vif), np.asarray(vif_features_batched(ref, dist)),
+        rtol=0, atol=2e-4)
+    # sad[n] = sad(n-1, n); motion[t] for a closed clip is [0, sad[1:]...].
+    motion, _ = motion_features(ref)
+    np.testing.assert_allclose(np.asarray(sad)[1:], np.asarray(motion)[1:],
+                               rtol=0, atol=1e-4)
+    assert float(sad[0]) == 0.0
