@@ -248,8 +248,14 @@ def stream_score(
                 from pqa2_tpu.ops.psnr import psnr_from_mse_np
                 from pqa2_tpu.ops.ssim import ssim_db_np, ssim_sse_plane
 
-                peak = float((1 << max(meta.get("ref_depth", 8),
-                                       meta.get("dist_depth", 8))) - 1)
+                max_depth = max(meta.get("ref_depth", 8),
+                                meta.get("dist_depth", 8))
+                peak = float((1 << max_depth) - 1)
+                # PSNR semantics for (possibly mixed) depths: both inputs on
+                # a common scale at the max depth (ffmpeg upconverts to a
+                # shared pixel format before its psnr filter). The 8-bit
+                # -scale SSE rescales exactly: diff_native = max_div * diff8.
+                max_div = float(1 << (max_depth - 8))
                 part: Dict[str, np.ndarray] = {}
                 pstats: Dict[str, np.ndarray] = {}
                 tot = 0.0
@@ -264,10 +270,7 @@ def stream_score(
                     w = r.shape[-2] * r.shape[-1]
                     tot = tot + vv * w
                     tot_w += w
-                    # SSE was computed on the 8-bit scale; PSNR pools on
-                    # native code values. With ref_div == dist_div the
-                    # rescale is exact; mixed depths fall back apart below.
-                    sse = np.asarray(sse8) * (ref_div * dist_div)
+                    sse = np.asarray(sse8) * (max_div * max_div)
                     mse = sse / w
                     pstats[f"mse_{p}"] = mse
                     pstats[f"psnr_{p}"] = psnr_from_mse_np(mse, max_value=peak)
@@ -275,46 +278,27 @@ def stream_score(
                 pstats["mse_avg"] = tot_sse / tot_w
                 pstats["psnr_avg"] = psnr_from_mse_np(pstats["mse_avg"],
                                                      max_value=peak)
-                if ref_div == dist_div:
-                    psnr_parts.append(_unpad(pstats))
-                else:
-                    # Mixed bit depths: the 8-bit-scale SSE does not rescale
-                    # to native code values; redo PSNR on native planes.
-                    nat = {
-                        k: (_pad_dev(jnp.asarray(
-                                np.stack([f[k] for f in ref_frames]))),
-                            _pad_dev(jnp.asarray(
-                                np.stack([f[k] for f in dist_frames]))))
-                        for k in ("y", "u", "v")
-                    }
-                    peak_stats = psnr_planes_batched(
-                        nat["y"][0], nat["u"][0], nat["v"][0],
-                        nat["y"][1], nat["u"][1], nat["v"][1],
-                        max_value=peak)
-                    psnr_parts.append(_unpad(peak_stats))
+                psnr_parts.append(_unpad(pstats))
                 part["ssim_all"] = tot / tot_w
                 part["ssim_db"] = ssim_db_np(part["ssim_all"])
                 ssim_parts.append(_unpad(part))
             elif with_psnr:
-                # PSNR runs on native code values with the native peak; the
-                # scaled 8-bit buffers rescale exactly for equal depths.
-                peak = float((1 << max(meta.get("ref_depth", 8),
-                                       meta.get("dist_depth", 8))) - 1)
-                if ref_div == dist_div == 1.0:
-                    stats = psnr_planes_batched(r_y, r_u, r_v, d_y, d_u, d_v,
-                                                max_value=peak)
-                else:
-                    nat = {
-                        k: (_pad_dev(jnp.asarray(
-                                np.stack([f[k] for f in ref_frames]))),
-                            _pad_dev(jnp.asarray(
-                                np.stack([f[k] for f in dist_frames]))))
-                        for k in ("y", "u", "v")
-                    }
-                    stats = psnr_planes_batched(
-                        nat["y"][0], nat["u"][0], nat["v"][0],
-                        nat["y"][1], nat["u"][1], nat["v"][1],
-                        max_value=peak)
+                # PSNR on a common scale at the max depth (see the fused
+                # branch): the 8-bit-scale planes times max_div are exactly
+                # the common-format code values, so computing on the 8-bit
+                # scale with a rescaled peak gives identical dB.
+                from pqa2_tpu.ops.psnr import psnr_from_mse_np
+
+                max_depth = max(meta.get("ref_depth", 8),
+                                meta.get("dist_depth", 8))
+                max_div = float(1 << (max_depth - 8))
+                peak = float((1 << max_depth) - 1)
+                stats = psnr_planes_batched(r_y, r_u, r_v, d_y, d_u, d_v)
+                stats = {k: np.asarray(v) for k, v in stats.items()}
+                for p in ("y", "u", "v", "avg"):
+                    stats[f"mse_{p}"] = stats[f"mse_{p}"] * (max_div * max_div)
+                    stats[f"psnr_{p}"] = psnr_from_mse_np(stats[f"mse_{p}"],
+                                                          max_value=peak)
                 psnr_parts.append(_unpad(stats))
             elif with_ssim:
                 from pqa2_tpu.ops.ssim import ssim_db_np

@@ -40,3 +40,28 @@ def test_10bit_matches_8bit_scores(tmp_path, rng):
     np.testing.assert_allclose(s10.ssim["ssim_y"], s8.ssim["ssim_y"], atol=1e-5)
     # PSNR: same relative error at 4x amplitude and 4x peak -> same dB.
     np.testing.assert_allclose(s10.psnr["psnr_y"], s8.psnr["psnr_y"], atol=0.05)
+
+
+def test_mixed_depth_psnr_native(tmp_path, rng):
+    """8-bit reference vs 10-bit capture: features/SSIM on the 8-bit scale,
+    PSNR redone on native code values (the scaled-SSE shortcut is invalid
+    for unequal depths)."""
+    n, h, w = 3, 48, 64
+    ref8 = rng.integers(16, 235, (n, h, w)).astype(np.uint8)
+    dist10 = np.clip((ref8.astype(np.int32) << 2)
+                     + rng.integers(-20, 21, ref8.shape), 0, 1023
+                     ).astype(np.uint16)
+
+    pr, pd = str(tmp_path / "r8.y4m"), str(tmp_path / "d10.y4m")
+    write_y4m(pr, [_planes(f) for f in ref8])
+    write_y4m(pd, [_planes(f, 10) for f in dist10], colorspace="C420p10")
+
+    s = stream_score(pr, pd, with_ssim=True)
+    # Native PSNR, computed independently: upscale ref to 10-bit grid.
+    sse = ((ref8.astype(np.float64) * 4 - dist10.astype(np.float64)) ** 2
+           ).sum(axis=(1, 2))
+    c_sse = 0.0  # chroma planes are both the neutral constant -> exact
+    mse_y = sse / (h * w)
+    psnr_y = 10 * np.log10(1023.0**2 / mse_y)
+    np.testing.assert_allclose(s.psnr["psnr_y"], psnr_y, atol=0.01)
+    assert np.all(np.asarray(s.ssim["ssim_y"]) <= 1.0)
