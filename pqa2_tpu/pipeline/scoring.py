@@ -217,13 +217,24 @@ def score_planes(
     with_psnr: bool = True,
     with_ssim: bool = True,
     frame_cb=None,
+    bit_depth: int = 8,
 ) -> ClipScores:
     """Full scoring from planar YUV frame lists (io.VideoReader output):
-    VMAF on luma + optional PSNR/SSIM over all three planes."""
+    VMAF on luma + optional PSNR/SSIM over all three planes.
+
+    For >8-bit sources pass ``bit_depth``: features/SSIM evaluate on the
+    8-bit scale (libvmaf normalises high-bit-depth input the same way) and
+    PSNR uses the native peak. For per-stream depths use
+    pipeline.streaming.stream_score, which reads them from the container.
+    """
+    div = float(1 << (bit_depth - 8))
     # Keep the source dtype: device transfers of uint8 are 4x smaller than
     # f32 and every op casts on device.
     ref_y = np.stack([f["y"] for f in ref_planes])
     dist_y = np.stack([f["y"] for f in dist_planes])
+    if div != 1.0:
+        ref_y = ref_y.astype(np.float32) / div
+        dist_y = dist_y.astype(np.float32) / div
     result = score_clip(ref_y, dist_y, model=model, chunk_size=chunk_size,
                         frame_cb=frame_cb)
 
@@ -232,6 +243,12 @@ def score_planes(
         ref_v = np.stack([f["v"] for f in ref_planes])
         dist_u = np.stack([f["u"] for f in dist_planes])
         dist_v = np.stack([f["v"] for f in dist_planes])
+        if div != 1.0:
+            ref_u = ref_u.astype(np.float32) / div
+            ref_v = ref_v.astype(np.float32) / div
+            dist_u = dist_u.astype(np.float32) / div
+            dist_v = dist_v.astype(np.float32) / div
+    peak = float((1 << bit_depth) - 1)
 
     def chunked(fn, r, d):
         """Run fn over fixed-size padded frame chunks (static shapes -> one
@@ -274,14 +291,14 @@ def score_planes(
             w = r.shape[-2] * r.shape[-1]
             total = total + sv * w
             total_w += w
-            mse = np.asarray(sse) / w
+            mse = np.asarray(sse) * (div * div) / w
             psnr[f"mse_{p}"] = mse
-            psnr[f"psnr_{p}"] = psnr_from_mse_np(mse)
-            total_sse = total_sse + np.asarray(sse)
+            psnr[f"psnr_{p}"] = psnr_from_mse_np(mse, max_value=peak)
+            total_sse = total_sse + np.asarray(sse) * (div * div)
         ssim["ssim_all"] = total / total_w
         ssim["ssim_db"] = ssim_db_np(ssim["ssim_all"])
         psnr["mse_avg"] = total_sse / total_w
-        psnr["psnr_avg"] = psnr_from_mse_np(psnr["mse_avg"])
+        psnr["psnr_avg"] = psnr_from_mse_np(psnr["mse_avg"], max_value=peak)
         result.ssim = ssim
         result.psnr = psnr
         return result
@@ -295,12 +312,13 @@ def score_planes(
                           ("v", (ref_v, dist_v))):
             (sse,) = chunked(_sse, r, d)
             w = r.shape[-2] * r.shape[-1]
-            psnr2[f"mse_{p}"] = sse / w
-            psnr2[f"psnr_{p}"] = psnr_from_mse_np(psnr2[f"mse_{p}"])
-            tot_sse = tot_sse + sse
+            psnr2[f"mse_{p}"] = sse * (div * div) / w
+            psnr2[f"psnr_{p}"] = psnr_from_mse_np(psnr2[f"mse_{p}"],
+                                                  max_value=peak)
+            tot_sse = tot_sse + sse * (div * div)
             tot_w += w
         psnr2["mse_avg"] = tot_sse / tot_w
-        psnr2["psnr_avg"] = psnr_from_mse_np(psnr2["mse_avg"])
+        psnr2["psnr_avg"] = psnr_from_mse_np(psnr2["mse_avg"], max_value=peak)
         result.psnr = psnr2
     if with_ssim:
         from pqa2_tpu.ops.ssim import ssim_db_np
