@@ -291,29 +291,36 @@ def main():
                 return fn(*a, **kw)
 
         # Headline (4K) first — best shot at a healthy tunnel window.
-        # 8-frame batches amortise the tunnel's fixed per-dispatch latency
+        # 32-frame batches amortise the tunnel's fixed per-dispatch latency
         # (~26 ms round trip regardless of payload).
+        n_4k = 32
         try:
             try:
                 fps_4k = bench_config(
                     "4k vmaf_4k_v0.6.1", "vmaf_4k_v0.6.1",
-                    32, 2160, 3840, log=log)
+                    n_4k, 2160, 3840, log=log)
             except Exception as e:
                 # Memory-pressure fallback: halve the batch.
                 log(f"[bench] 32-frame 4k failed ({e}); falling back to 16")
+                n_4k = 16
                 fps_4k = with_retry(
                     bench_config, "4k vmaf_4k_v0.6.1", "vmaf_4k_v0.6.1",
-                    16, 2160, 3840, log=log)
+                    n_4k, 2160, 3840, log=log)
             if fps_4k < 50.0:
                 # The tunnel has post-wedge recovery windows that run 5-50x
                 # slow; a healthy chip measures ~120 fps here. One rest+retry
-                # keeps a degraded window from being recorded as the result.
+                # (at the batch size that just worked) keeps a degraded
+                # window from being recorded as the result.
                 log(f"[bench] 4k {fps_4k:.1f} fps looks degraded; "
                     "resting 120s and retrying once")
                 time.sleep(120)
-                fps_4k = max(fps_4k, bench_config(
-                    "4k vmaf_4k_v0.6.1 (retry)", "vmaf_4k_v0.6.1",
-                    32, 2160, 3840, log=log))
+                try:
+                    fps_4k = max(fps_4k, bench_config(
+                        "4k vmaf_4k_v0.6.1 (retry)", "vmaf_4k_v0.6.1",
+                        n_4k, 2160, 3840, log=log))
+                except Exception as e:
+                    log(f"[bench] retry failed ({e}); keeping "
+                        f"{fps_4k:.1f} fps")
         except Exception as e:
             note = f"4k failed: {e}"
             log(f"[bench] {note}")
@@ -340,7 +347,10 @@ def main():
         "backend": platform,
         "target_fps": 60.0,
     }
-    if not small and note:
+    if small:
+        note = (note + "; " if note else "") + (
+            "cpu backend, reduced shapes — numbers not meaningful")
+    if note:
         out["note"] = note
     print(json.dumps(out))
 

@@ -16,6 +16,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from pqa2_tpu.utils.chunking import pad_frames
+
 
 @jax.jit
 def _stats_chunk(frames: jnp.ndarray) -> Dict[str, jnp.ndarray]:
@@ -45,7 +47,7 @@ def frame_luma_stats(luma: np.ndarray, chunk_size: int = 64) -> Dict[str, np.nda
         # compile once per clip length.
         pad = chunk_size - chunk.shape[0]
         if pad:
-            chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, axis=0)])
+            chunk = pad_frames(chunk, chunk_size)
         out = _stats_chunk(jnp.asarray(chunk))
         take = chunk.shape[0] - pad
         parts.append({k: np.asarray(v)[:take] for k, v in out.items()})

@@ -79,7 +79,9 @@ def thumb_series(luma: np.ndarray, chunk_size: int = 64) -> np.ndarray:
         chunk = luma[start : start + chunk_size]
         pad = chunk_size - chunk.shape[0]
         if pad:
-            chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, axis=0)])
+            from pqa2_tpu.utils.chunking import pad_frames
+
+            chunk = pad_frames(chunk, chunk_size)
         out = np.asarray(_thumb_series(jnp.asarray(chunk)))
         parts.append(out[: chunk_size - pad])
     return np.concatenate(parts)

@@ -1,4 +1,9 @@
-"""Fused motion-SAD Pallas kernel.
+"""Fused motion-SAD Pallas kernel (standalone variant).
+
+The production dispatch (pipeline/features.py "pallas" backend) gets the
+motion SAD from the VIF scale-0 kernel's resident tiles instead
+(ops/pallas_vif.py with_motion); this standalone kernel is the un-fused
+equivalent for A/B runs and for callers that need motion without VIF.
 
 Computes the per-frame consecutive-pair SAD of 5-tap Gaussian-blurred luma —
 the building block of the motion/motion2 features (reference consumes them

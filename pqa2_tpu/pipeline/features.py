@@ -24,9 +24,11 @@ from pqa2_tpu.ops.adm import adm_features_batched
 from pqa2_tpu.ops.motion import motion_features
 from pqa2_tpu.ops.vif import vif_features_batched
 
-# Kernel backend switch: "auto" = fused Pallas VIF + XLA ADM on TPU, all-XLA
-# elsewhere; "xla" = jnp shifted-slice ops everywhere; "pallas" = fused
-# Pallas kernels for both VIF and ADM. Env override for benching.
+# Kernel backend switch: "auto" = full fused-Pallas set on TPU (VIF+motion
+# in one cascade, Pallas ADM), all-XLA elsewhere; "xla" = jnp shifted-slice
+# ops everywhere; "pallas" = force the full Pallas set; "vif-pallas" =
+# Pallas VIF/motion with the XLA ADM (A/B debugging). Env override for
+# benching.
 KERNEL_BACKEND = os.environ.get("PQA2_KERNEL_BACKEND", "auto")
 
 

@@ -19,9 +19,9 @@ import numpy as np
 from pqa2_tpu.models.loader import BootstrapModel, VMAFModel
 from pqa2_tpu.models.registry import get_model
 from pqa2_tpu.models.svr import BootstrapPredictor, ScorePredictor
-from pqa2_tpu.ops.psnr import psnr_planes_batched
 from pqa2_tpu.ops.ssim import ssim_plane_batched
 from pqa2_tpu.pipeline.features import extract_features_batched, model_feature_params
+from pqa2_tpu.utils.chunking import pad_frames, pow2_bucket
 
 DEFAULT_CHUNK_SIZE = 32
 
@@ -142,13 +142,7 @@ def extract_clip_features(
     if feature_params is None:
         feature_params = model_feature_params(_resolve_model(model)) if model else {}
     n = ref_luma.shape[0]
-    # Bucket the chunk size to a power of two <= chunk_size: short clips pad
-    # up to a shared bucket instead of compiling one program per clip length
-    # (28- and 30-frame clips land on the same 32-frame program).
-    bucket = 1
-    while bucket < n and bucket < chunk_size:
-        bucket *= 2
-    chunk_size = max(1, min(chunk_size, bucket))
+    chunk_size = pow2_bucket(n, chunk_size)
     parts: List[Dict[str, np.ndarray]] = []
     for start, stop, has_prev, has_next in iter_chunks(n, chunk_size):
         lo = start - (1 if has_prev else 0)
@@ -159,8 +153,8 @@ def extract_clip_features(
         want = chunk_size + (1 if has_prev else 0) + (1 if has_next else 0)
         pad = want - ref_c.shape[0]
         if pad > 0:
-            ref_c = np.concatenate([ref_c, np.repeat(ref_c[-1:], pad, axis=0)])
-            dist_c = np.concatenate([dist_c, np.repeat(dist_c[-1:], pad, axis=0)])
+            ref_c = pad_frames(ref_c, want)
+            dist_c = pad_frames(dist_c, want)
         feats = extract_features_batched(
             jnp.asarray(ref_c), jnp.asarray(dist_c),
             has_prev=has_prev, has_next=has_next, **feature_params,
@@ -255,16 +249,14 @@ def score_planes(
         compilation per plane geometry, never per clip length) and
         concatenate the per-frame outputs."""
         n0 = r.shape[0]
-        cs = 1
-        while cs < n0 and cs < chunk_size:
-            cs *= 2
+        cs = pow2_bucket(n0, chunk_size)
         outs = []
         for start in range(0, n0, cs):
             rc, dc = r[start : start + cs], d[start : start + cs]
             pad = cs - rc.shape[0]
             if pad:
-                rc = np.concatenate([rc, np.repeat(rc[-1:], pad, axis=0)])
-                dc = np.concatenate([dc, np.repeat(dc[-1:], pad, axis=0)])
+                rc = pad_frames(rc, cs)
+                dc = pad_frames(dc, cs)
             res = fn(jnp.asarray(rc), jnp.asarray(dc))
             if not isinstance(res, tuple):
                 res = (res,)

@@ -28,6 +28,7 @@ from pqa2_tpu.ops.psnr import psnr_planes_batched
 from pqa2_tpu.ops.ssim import ssim_plane_batched
 from pqa2_tpu.pipeline.features import extract_features_batched, model_feature_params
 from pqa2_tpu.pipeline.scoring import DEFAULT_CHUNK_SIZE, ClipScores
+from pqa2_tpu.utils.chunking import pad_frames
 
 logger = logging.getLogger(__name__)
 
@@ -217,11 +218,7 @@ def stream_score(
                     # Pad short tail chunks up to the static chunk shape on
                     # device so PSNR/SSIM never compile a per-clip-length
                     # program; the pad frames' outputs are sliced off below.
-                    if x.shape[0] < chunk_size:
-                        x = jnp.concatenate(
-                            [x, jnp.repeat(x[-1:], chunk_size - x.shape[0],
-                                           axis=0)])
-                    return x
+                    return pad_frames(x, chunk_size)
 
                 def _stack_dev(frames, key, div):
                     a = jnp.asarray(np.stack([f[key] for f in frames]))

@@ -43,9 +43,9 @@ def test_10bit_matches_8bit_scores(tmp_path, rng):
 
 
 def test_mixed_depth_psnr_native(tmp_path, rng):
-    """8-bit reference vs 10-bit capture: features/SSIM on the 8-bit scale,
-    PSNR redone on native code values (the scaled-SSE shortcut is invalid
-    for unequal depths)."""
+    """8-bit reference vs 10-bit capture: features/SSIM on the 8-bit scale;
+    PSNR on the common scale at the max depth (the 8-bit-scale SSE times
+    max_div^2 is exactly the common-format SSE)."""
     n, h, w = 3, 48, 64
     ref8 = rng.integers(16, 235, (n, h, w)).astype(np.uint8)
     dist10 = np.clip((ref8.astype(np.int32) << 2)
@@ -60,7 +60,6 @@ def test_mixed_depth_psnr_native(tmp_path, rng):
     # Native PSNR, computed independently: upscale ref to 10-bit grid.
     sse = ((ref8.astype(np.float64) * 4 - dist10.astype(np.float64)) ** 2
            ).sum(axis=(1, 2))
-    c_sse = 0.0  # chroma planes are both the neutral constant -> exact
     mse_y = sse / (h * w)
     psnr_y = 10 * np.log10(1023.0**2 / mse_y)
     np.testing.assert_allclose(s.psnr["psnr_y"], psnr_y, atol=0.01)
