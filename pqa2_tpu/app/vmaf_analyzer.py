@@ -51,9 +51,11 @@ def write_psnr_log(scores: ClipScores, path: str) -> None:
                 f"psnr_v:{_fmt(p['psnr_v'][i], 2)}\n"
             )
         # Clip-level pooling over accumulated MSE, the way ffmpeg's stderr
-        # summary computes it (golden/psnr.py:psnr_pooled).
+        # summary computes it (golden/psnr.py:psnr_pooled). mse_* live on the
+        # native scale, so the summary uses the native peak (1023 for 10-bit).
+        peak = scores.peak
         mse_avg = float(np.mean(p["mse_avg"]))
-        avg = 10.0 * np.log10(255.0 * 255.0 / mse_avg) if mse_avg > 0 else float("inf")
+        avg = 10.0 * np.log10(peak * peak / mse_avg) if mse_avg > 0 else float("inf")
         f.write(f"PSNR average:{_fmt(avg, 6)} "
                 f"min:{_fmt(float(np.min(p['psnr_avg'])), 6)} "
                 f"max:{_fmt(float(np.max(p['psnr_avg'])), 6)}\n")
@@ -192,8 +194,9 @@ class VMAFAnalyzer:
             f"{ref_info_d['width']}x{ref_info_d['height']}..."
         )
 
+        n_sampled = -(-(max_frames or 1) // max(1, self.feature_subsample))
         meter = ThroughputMeter(
-            max_frames or 1,
+            n_sampled or 1,
             progress_cb=lambda p: self.analysis_progress.emit(5 + p * 75 // 100),
             status_cb=self.status_update.emit,
         )
@@ -210,6 +213,10 @@ class VMAFAnalyzer:
 
         # Streaming scorer: decode / H2D / compute overlap, two chunks of
         # host memory instead of the whole clip (pipeline/streaming.py).
+        # n_subsample is applied INSIDE the streaming scorer: non-sampled
+        # frames are dropped before feature extraction, so the feature work
+        # genuinely scales as ~1/k (the reference passes n_subsample to
+        # libvmaf, app/vmaf_analyzer.py:379, which skips compute the same way).
         with trace(profile_dir, label="vmaf_score"):
             scores = stream_score(
                 reference_path,
@@ -220,17 +227,8 @@ class VMAFAnalyzer:
                 with_psnr=self.psnr_enabled,
                 with_ssim=self.ssim_enabled,
                 frame_cb=on_chunk,
+                subsample=self.feature_subsample,
             )
-        n = scores.n_frames
-        if self.feature_subsample > 1:
-            # Reference semantics: score every Nth frame only (n_subsample).
-            keep = np.arange(0, n, self.feature_subsample)
-            scores.vmaf = scores.vmaf[keep]
-            scores.features = {k: v[keep] for k, v in scores.features.items()}
-            if scores.psnr:
-                scores.psnr = {k: v[keep] for k, v in scores.psnr.items()}
-            if scores.ssim:
-                scores.ssim = {k: v[keep] for k, v in scores.ssim.items()}
         self.analysis_progress.emit(80)
 
         out_dir = self.output_directory or os.path.dirname(distorted_path) or "."
@@ -282,7 +280,7 @@ class VMAFAnalyzer:
             "width": dist_info_d["width"],
             "height": dist_info_d["height"],
             "frame_count": int(scores.n_frames),
-            "duration": float(scores.n_frames / fps),
+            "duration": float(scores.n_frames * scores.frame_step / fps),
         }
         self.analysis_progress.emit(100)
         self.status_update.emit(f"VMAF analysis complete! Score: {vmaf_score:.2f}")

@@ -106,9 +106,9 @@ def make_shardmap_scorer(
     arrays, all (N,).
     """
     try:
-        from jax.experimental.shard_map import shard_map
-    except ImportError:  # newer jax
-        from jax import shard_map  # type: ignore
+        from jax import shard_map  # jax >= 0.6 public API
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map  # type: ignore
 
     from jax.sharding import PartitionSpec
 

@@ -32,30 +32,40 @@ def clip_scores_to_json(
     scores: ClipScores,
     *,
     fps: Optional[float] = None,
-    integer_features: bool = True,
+    integer_features: Optional[bool] = None,
 ) -> Dict:
-    """ClipScores -> libvmaf-log-shaped dict (frames + pooled_metrics)."""
+    """ClipScores -> libvmaf-log-shaped dict (frames + pooled_metrics).
+
+    integer_features defaults to the loaded model's extractor path
+    (scores.uses_integer_features) so float models emit float_*-prefixed
+    keys like real libvmaf logs do.
+    """
+    if integer_features is None:
+        integer_features = scores.uses_integer_features
     n = scores.n_frames
     feat_keys = {k: _metric_key(k, integer_features) for k in scores.features}
+    if scores.bootstrap is not None:
+        from pqa2_tpu.pipeline.scoring import bootstrap_ci
+
+        ci_lo, ci_hi, ci_std = bootstrap_ci(scores.bootstrap)
+        bagging = scores.bootstrap.mean(axis=0)
     frames = []
     for i in range(n):
         metrics = {feat_keys[k]: round(float(v[i]), 6)
                    for k, v in scores.features.items()}
         metrics["vmaf"] = round(float(scores.vmaf[i]), 6)
         if scores.bootstrap is not None:
-            from pqa2_tpu.pipeline.scoring import bootstrap_ci
-
-            lo, hi, std = bootstrap_ci(scores.bootstrap)
-            metrics["vmaf_bagging"] = round(float(scores.bootstrap.mean(axis=0)[i]), 6)
-            metrics["vmaf_stddev"] = round(float(std[i]), 6)
-            metrics["vmaf_ci_p95_lo"] = round(float(lo[i]), 6)
-            metrics["vmaf_ci_p95_hi"] = round(float(hi[i]), 6)
+            metrics["vmaf_bagging"] = round(float(bagging[i]), 6)
+            metrics["vmaf_stddev"] = round(float(ci_std[i]), 6)
+            metrics["vmaf_ci_p95_lo"] = round(float(ci_lo[i]), 6)
+            metrics["vmaf_ci_p95_hi"] = round(float(ci_hi[i]), 6)
         if scores.psnr is not None:
             for p in ("y", "u", "v"):
                 metrics[f"psnr_{p}"] = round(float(scores.psnr[f"psnr_{p}"][i]), 6)
         if scores.ssim is not None:
             metrics["float_ssim"] = round(float(scores.ssim["ssim_all"][i]), 6)
-        frames.append({"frameNum": i, "metrics": _json_safe(metrics)})
+        frames.append({"frameNum": i * scores.frame_step,
+                       "metrics": _json_safe(metrics)})
 
     pooled = {
         name: {m: round(_finite(v), 6) for m, v in per.items()}
@@ -90,7 +100,7 @@ def write_vmaf_json(
     path: str,
     *,
     fps: Optional[float] = None,
-    integer_features: bool = True,
+    integer_features: Optional[bool] = None,
 ) -> Dict:
     obj = clip_scores_to_json(scores, fps=fps, integer_features=integer_features)
     with open(path, "w") as f:

@@ -39,6 +39,15 @@ class ClipScores:
     bootstrap: Optional[np.ndarray] = None  # (M, N) per-sub-model scores
     psnr: Optional[Dict[str, np.ndarray]] = None
     ssim: Optional[Dict[str, np.ndarray]] = None
+    # Native PSNR peak (255 for 8-bit, 1023 for 10-bit, ...): the scale the
+    # stored mse_* values live on. Used by the psnr log summary line.
+    peak: float = 255.0
+    # Whether the model was trained on the integer_* feature extractors
+    # (drives the metric key prefix in the libvmaf-schema JSON).
+    uses_integer_features: bool = True
+    # Distance between scored frames in source-frame indices (n_subsample):
+    # frameNum in the JSON log is i * frame_step.
+    frame_step: int = 1
 
     @property
     def n_frames(self) -> int:
@@ -182,7 +191,9 @@ def score_clip(
     """Luma batches -> per-frame VMAF. The core scoring entry point.
 
     subsample=k scores every k-th frame (the reference's n_subsample option,
-    app/vmaf_analyzer.py:379); motion halos still use true neighbours.
+    app/vmaf_analyzer.py:379) with libvmaf semantics: features — including
+    motion — are computed between the *sampled* frames only, so the feature
+    work genuinely drops to ~1/k.
     frame_cb(n) is invoked per scored chunk with the frame count (progress).
     """
     mdl = _resolve_model(model)
@@ -200,6 +211,8 @@ def score_clip(
         features=feats,
         vmaf=vmaf,
         bootstrap=boot,
+        uses_integer_features=getattr(mdl, "uses_integer_features", True),
+        frame_step=subsample,
     )
 
 
@@ -231,6 +244,7 @@ def score_planes(
         dist_y = dist_y.astype(np.float32) / div
     result = score_clip(ref_y, dist_y, model=model, chunk_size=chunk_size,
                         frame_cb=frame_cb)
+    result.peak = float((1 << bit_depth) - 1)
 
     if with_psnr or with_ssim:
         ref_u = np.stack([f["u"] for f in ref_planes])

@@ -48,6 +48,23 @@ def _open_reader(path: str):
     return VideoReader(path)
 
 
+def _check_geometry(ref_r, dist_r, ref_path, dist_path) -> None:
+    """Fail fast with a readable error when ref/dist disagree on geometry
+    (otherwise the mismatch surfaces later as an opaque jnp shape error)."""
+
+    def _geom(r):
+        info = getattr(r, "info", r)
+        return (getattr(info, "width", None), getattr(info, "height", None))
+
+    rg, dg = _geom(ref_r), _geom(dist_r)
+    if None not in rg and None not in dg and rg != dg:
+        raise ValueError(
+            f"resolution mismatch: reference {ref_path!r} is {rg[0]}x{rg[1]} "
+            f"but distorted {dist_path!r} is {dg[0]}x{dg[1]}; align/scale the "
+            f"inputs to a common geometry before scoring"
+        )
+
+
 def _chunk_producer(
     ref_path: str,
     dist_path: str,
@@ -56,14 +73,20 @@ def _chunk_producer(
     max_frames: Optional[int],
     stop: threading.Event,
     meta: Optional[Dict] = None,
+    subsample: int = 1,
 ) -> None:
-    """Read paired chunks; each queue item is (ref_frames, dist_frames, eof)."""
+    """Read paired chunks; each queue item is (ref_frames, dist_frames, eof).
+
+    subsample=k keeps every k-th source frame (libvmaf n_subsample): skipped
+    frames never reach the queue, so no feature work is spent on them.
+    """
     ref_r = _open_reader(ref_path)
     dist_r = _open_reader(dist_path)
     if meta is not None:
         meta["ref_depth"] = _reader_depth(ref_r)
         meta["dist_depth"] = _reader_depth(dist_r)
     try:
+        _check_geometry(ref_r, dist_r, ref_path, dist_path)
         n_read = 0
         ref_buf: List[Dict] = []
         dist_buf: List[Dict] = []
@@ -71,9 +94,11 @@ def _chunk_producer(
             rf = ref_r.read_frame()
             df = dist_r.read_frame()
             eof = rf is None or df is None
+            sampled = not eof and (n_read % subsample == 0)
             if not eof:
-                ref_buf.append(rf)
-                dist_buf.append(df)
+                if sampled:
+                    ref_buf.append(rf)
+                    dist_buf.append(df)
                 n_read += 1
                 if max_frames is not None and n_read >= max_frames:
                     eof = True
@@ -110,8 +135,15 @@ def stream_score(
     with_psnr: bool = True,
     with_ssim: bool = True,
     frame_cb: Optional[Callable[[int], None]] = None,
+    subsample: int = 1,
 ) -> ClipScores:
-    """Score two video files without materialising them in memory."""
+    """Score two video files without materialising them in memory.
+
+    subsample=k scores every k-th source frame (libvmaf n_subsample
+    semantics: motion is computed between the sampled frames; skipped frames
+    cost decode only, no feature work).
+    """
+    subsample = max(1, int(subsample))
     mdl = get_model(model) if isinstance(model, str) else model
     params = model_feature_params(mdl)
     predictor = (
@@ -124,7 +156,8 @@ def stream_score(
     meta: Dict = {}
     producer = threading.Thread(
         target=_chunk_producer,
-        args=(ref_path, dist_path, chunk_size, q, max_frames, stop, meta),
+        args=(ref_path, dist_path, chunk_size, q, max_frames, stop, meta,
+              subsample),
         daemon=True,
     )
     producer.start()
@@ -349,12 +382,16 @@ def stream_score(
     else:
         vmaf, boot = np.asarray(predictor(x)), None
 
+    max_depth = max(meta.get("ref_depth", 8), meta.get("dist_depth", 8))
     out = ClipScores(
         model_name=mdl.name if hasattr(mdl, "name") else str(model),
         feature_names=tuple(mdl.feature_names),
         features=features,
         vmaf=vmaf,
         bootstrap=boot,
+        peak=float((1 << max_depth) - 1),
+        uses_integer_features=getattr(mdl, "uses_integer_features", True),
+        frame_step=subsample,
     )
     if psnr_parts:
         out.psnr = {k: np.concatenate([p[k] for p in psnr_parts])

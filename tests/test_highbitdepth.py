@@ -64,3 +64,65 @@ def test_mixed_depth_psnr_native(tmp_path, rng):
     psnr_y = 10 * np.log10(1023.0**2 / mse_y)
     np.testing.assert_allclose(s.psnr["psnr_y"], psnr_y, atol=0.01)
     assert np.all(np.asarray(s.ssim["ssim_y"]) <= 1.0)
+
+
+def test_10bit_psnr_log_summary_uses_native_peak(tmp_path, rng):
+    """The trailing 'PSNR average' summary line must pool with the native
+    peak (1023 for 10-bit), consistent with the per-frame lines."""
+    import re
+
+    from pqa2_tpu.app.vmaf_analyzer import write_psnr_log
+
+    n, h, w = 3, 48, 64
+    ref10 = rng.integers(64, 940, (n, h, w)).astype(np.uint16)
+    dist10 = np.clip(ref10.astype(np.int32) + rng.integers(-24, 25, ref10.shape),
+                     0, 1023).astype(np.uint16)
+    pr, pd = str(tmp_path / "r10.y4m"), str(tmp_path / "d10.y4m")
+    write_y4m(pr, [_planes(f, 10) for f in ref10], colorspace="C420p10")
+    write_y4m(pd, [_planes(f, 10) for f in dist10], colorspace="C420p10")
+
+    s = stream_score(pr, pd, with_ssim=False)
+    assert s.peak == 1023.0
+    log = tmp_path / "p.txt"
+    write_psnr_log(s, str(log))
+    m = re.search(r"PSNR average:([0-9.]+|inf)", log.read_text())
+    assert m is not None
+    pooled = 10.0 * np.log10(1023.0**2 / np.mean(s.psnr["mse_avg"]))
+    assert float(m.group(1)) == pytest.approx(pooled, abs=1e-3)
+    # Summary must sit in the same ballpark as the per-frame values (a 255
+    # peak would put it ~12 dB low).
+    assert abs(float(m.group(1)) - float(np.mean(s.psnr["psnr_avg"]))) < 3.0
+
+
+def test_geometry_mismatch_is_descriptive(tmp_path, rng):
+    ref = rng.integers(0, 255, (2, 48, 64)).astype(np.uint8)
+    dist = rng.integers(0, 255, (2, 32, 48)).astype(np.uint8)
+    pr, pd = str(tmp_path / "r.y4m"), str(tmp_path / "d.y4m")
+    write_y4m(pr, [_planes(f) for f in ref])
+    write_y4m(pd, [_planes(f) for f in dist])
+    with pytest.raises(ValueError, match="resolution mismatch"):
+        stream_score(pr, pd)
+
+
+def test_streaming_subsample_skips_compute(tmp_path, rng):
+    """n_subsample=k must do ~1/k the feature work: the scorer sees only
+    ceil(n/k) frames (frame_cb totals) and labels them with source indices."""
+    n = 20
+    ref = rng.integers(16, 235, (n, 48, 64)).astype(np.uint8)
+    dist = np.clip(ref.astype(np.int16) + rng.integers(-6, 7, ref.shape),
+                   0, 255).astype(np.uint8)
+    pr, pd = str(tmp_path / "r.y4m"), str(tmp_path / "d.y4m")
+    write_y4m(pr, [_planes(f) for f in ref])
+    write_y4m(pd, [_planes(f) for f in dist])
+
+    seen = []
+    s = stream_score(pr, pd, subsample=5, frame_cb=seen.append,
+                     with_psnr=False, with_ssim=False)
+    assert s.n_frames == 4  # ceil(20/5)
+    assert sum(seen) == 4
+    assert s.frame_step == 5
+    # Full run for comparison: sampled scores match the full run's every-5th
+    # features except motion (computed between sampled frames, per libvmaf).
+    full = stream_score(pr, pd, with_psnr=False, with_ssim=False)
+    np.testing.assert_allclose(s.features["adm2"], full.features["adm2"][::5],
+                               atol=1e-5)

@@ -154,3 +154,25 @@ def test_score_planes_and_json(rng, tmp_path):
 def test_unknown_model_errors():
     with pytest.raises(KeyError):
         get_model("not_a_model")
+
+
+def test_float_model_json_prefix(rng, tmp_path):
+    """Float models (classic VIF path) must emit float_*-prefixed feature
+    keys like real libvmaf logs — derived from model.uses_integer_features."""
+    ref, dist = _clip(rng, n=2)
+    res = score_clip(ref, dist, model="vmaf_float_v0.6.1")
+    assert res.uses_integer_features is False
+    obj = clip_scores_to_json(res)
+    fr = obj["frames"][0]["metrics"]
+    assert "float_adm2" in fr and "integer_adm2" not in fr
+    assert "float_vif_scale0" in fr
+
+
+def test_subsample_frame_numbers(rng):
+    """frameNum in the JSON log reflects source-frame indices under
+    n_subsample (libvmaf labels sampled frames with their true index)."""
+    ref, dist = _clip(rng, n=8)
+    res = score_clip(ref, dist, subsample=3)
+    assert res.frame_step == 3
+    obj = clip_scores_to_json(res)
+    assert [f["frameNum"] for f in obj["frames"]] == [0, 3, 6]
