@@ -54,6 +54,9 @@ def default_settings() -> Dict[str, Dict[str, Any]]:
             "save_plots": True,
             "pool_method": "mean",
             "feature_subsample": 1,
+            # auto = follow the model's extractor family (integer models ->
+            # fixed-point path); float / integer force one.
+            "feature_precision": "auto",
             "enable_motion_score": False,
             "enable_temporal_features": False,
             "psnr_enabled": True,

@@ -98,6 +98,7 @@ class VMAFAnalyzer:
         self.model = "vmaf_v0.6.1"
         self.pool_method = "mean"
         self.feature_subsample = 1
+        self.feature_precision = None  # None/"auto": model-driven
         self.psnr_enabled = True
         self.ssim_enabled = True
         self.chunk_size = 32
@@ -114,6 +115,8 @@ class VMAFAnalyzer:
         self.model = vmaf.get("default_model", self.model)
         self.pool_method = vmaf.get("pool_method", self.pool_method)
         self.feature_subsample = int(vmaf.get("feature_subsample", 1) or 1)
+        fp = vmaf.get("feature_precision", "auto")
+        self.feature_precision = None if fp in (None, "", "auto") else str(fp)
         self.psnr_enabled = bool(vmaf.get("psnr_enabled", True))
         self.ssim_enabled = bool(vmaf.get("ssim_enabled", True))
         tpu = options_manager.get_setting("tpu") or {}
@@ -228,6 +231,7 @@ class VMAFAnalyzer:
                 with_ssim=self.ssim_enabled,
                 frame_cb=on_chunk,
                 subsample=self.feature_subsample,
+                precision=self.feature_precision,
             )
         self.analysis_progress.emit(80)
 

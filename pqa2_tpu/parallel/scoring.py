@@ -48,6 +48,7 @@ def make_sharded_scorer(
     mesh: Mesh,
     model: Union[str, VMAFModel, BootstrapModel] = "vmaf_v0.6.1",
     with_psnr_ssim: bool = False,
+    precision: Optional[str] = None,
 ):
     """Build a jitted sharded scoring step for a mesh + model.
 
@@ -57,7 +58,7 @@ def make_sharded_scorer(
     them — the constraint inside forces the layout either way).
     """
     mdl = get_model(model) if isinstance(model, str) else model
-    params = model_feature_params(mdl)
+    params = model_feature_params(mdl, precision)
     predictor = (
         BootstrapPredictor(mdl)
         if isinstance(mdl, BootstrapModel)
@@ -92,6 +93,7 @@ def make_sharded_scorer(
 def make_shardmap_scorer(
     mesh: Mesh,
     model: Union[str, VMAFModel, BootstrapModel] = "vmaf_v0.6.1",
+    precision: Optional[str] = None,
 ):
     """Frame-parallel scorer that runs the fused Pallas kernels per shard.
 
@@ -116,7 +118,7 @@ def make_shardmap_scorer(
         raise ValueError("make_shardmap_scorer needs a data-only mesh "
                          "(space=1); use make_sharded_scorer for 2-D")
     mdl = get_model(model) if isinstance(model, str) else model
-    params = model_feature_params(mdl)
+    params = model_feature_params(mdl, precision)
     predictor = (
         BootstrapPredictor(mdl)
         if isinstance(mdl, BootstrapModel)

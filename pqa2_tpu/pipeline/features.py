@@ -31,11 +31,30 @@ from pqa2_tpu.ops.vif import vif_features_batched
 # benching.
 KERNEL_BACKEND = os.environ.get("PQA2_KERNEL_BACKEND", "auto")
 
+# Feature-precision policy: "auto" follows the model's extractor family
+# (models naming VMAF_integer_feature_* run the fixed-point path, float
+# models the f32 path); "float"/"integer" force one. Env override for
+# benching and A/B.
+FEATURE_PRECISION = os.environ.get("PQA2_FEATURE_PRECISION", "auto")
+
+
+def resolve_precision(model, setting: Optional[str] = None) -> str:
+    """'auto'|'float'|'integer' (+ model) -> 'float' or 'integer'."""
+    p = setting or FEATURE_PRECISION
+    if p == "auto":
+        if hasattr(model, "models"):  # bootstrap stack
+            model = model.models[0]
+        return "integer" if getattr(model, "uses_integer_features", False) else "float"
+    if p not in ("float", "integer"):
+        raise ValueError(f"unknown feature precision {p!r}")
+    return p
+
 
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "vif_gain", "adm_gain", "vif_variant", "has_prev", "has_next", "backend",
+        "vif_gain", "adm_gain", "vif_variant", "has_prev", "has_next",
+        "backend", "precision",
     ),
 )
 def extract_features_batched(
@@ -48,12 +67,38 @@ def extract_features_batched(
     has_prev: bool = False,
     has_next: bool = False,
     backend: Optional[str] = None,
+    precision: str = "float",
 ) -> Dict[str, jnp.ndarray]:
     """(N, H, W) luma pair (incl. halo rows) -> dict of (N_core,) features.
 
     Keys: adm2, motion, motion2, vif_scale0..3 — the canonical SVR inputs
     (models/*.json feature_names).
+
+    precision="integer" runs the fixed-point emulation of libvmaf's
+    VMAF_integer_feature_* extractors (ops/vif_int, ops/adm_int,
+    ops/motion_int) — the path the integer models were trained on.
     """
+    if precision == "integer":
+        core = slice(1 if has_prev else 0, -1 if has_next else None)
+        from pqa2_tpu.ops.adm_int import adm_features_int_batched
+        from pqa2_tpu.ops.motion_int import motion_features_int
+        from pqa2_tpu.ops.vif_int import vif_features_int_batched
+
+        motion, motion2 = motion_features_int(
+            ref, has_prev=has_prev, has_next=has_next
+        )
+        vif = vif_features_int_batched(ref[core], dist[core], gain_limit=vif_gain)
+        adm2 = adm_features_int_batched(ref[core], dist[core], gain_limit=adm_gain)
+        return {
+            "adm2": adm2,
+            "motion": motion,
+            "motion2": motion2,
+            "vif_scale0": vif[:, 0],
+            "vif_scale1": vif[:, 1],
+            "vif_scale2": vif[:, 2],
+            "vif_scale3": vif[:, 3],
+        }
+
     if backend is None:
         backend = KERNEL_BACKEND
     ref = ref.astype(jnp.float32)
@@ -107,12 +152,14 @@ def extract_features_batched(
     }
 
 
-def model_feature_params(model) -> Dict[str, object]:
+def model_feature_params(model, precision: Optional[str] = None) -> Dict[str, object]:
     """Static extraction knobs implied by a VMAFModel's feature_opts.
 
     NEG models carry vif_enhn_gain_limit / adm_enhn_gain_limit = 1.0
     (models/vmaf_v0.6.1neg.json feature_opts_dicts); float models were trained
     on the classic float VIF statistic, integer models on the integer path.
+    The returned "precision" follows the FEATURE_PRECISION policy (default
+    "auto": integer models -> the fixed-point path).
     """
     if hasattr(model, "models"):  # BootstrapModel: sub-models share options
         model = model.models[0]
@@ -122,4 +169,5 @@ def model_feature_params(model) -> Dict[str, object]:
         "vif_gain": vif_gain,
         "adm_gain": adm_gain,
         "vif_variant": "default" if model.uses_integer_features else "classic",
+        "precision": resolve_precision(model, precision),
     }

@@ -141,15 +141,20 @@ def extract_clip_features(
     chunk_size: int = DEFAULT_CHUNK_SIZE,
     feature_params: Optional[Dict] = None,
     frame_cb=None,
+    precision: Optional[str] = None,
 ) -> Dict[str, np.ndarray]:
     """Whole-clip feature extraction with chunked streaming + 1-frame halo.
 
     ref_luma/dist_luma: (N, H, W). The final partial chunk is padded up to
     chunk_size (static shapes -> single XLA compilation) and the pad frames'
-    features dropped.
+    features dropped. precision overrides the model-driven float/integer
+    extractor choice (pipeline/features.py:resolve_precision).
     """
     if feature_params is None:
-        feature_params = model_feature_params(_resolve_model(model)) if model else {}
+        feature_params = (
+            model_feature_params(_resolve_model(model), precision)
+            if model else {}
+        )
     n = ref_luma.shape[0]
     chunk_size = pow2_bucket(n, chunk_size)
     parts: List[Dict[str, np.ndarray]] = []
@@ -187,6 +192,7 @@ def score_clip(
     chunk_size: int = DEFAULT_CHUNK_SIZE,
     subsample: int = 1,
     frame_cb=None,
+    precision: Optional[str] = None,
 ) -> ClipScores:
     """Luma batches -> per-frame VMAF. The core scoring entry point.
 
@@ -201,7 +207,8 @@ def score_clip(
         ref_luma = ref_luma[::subsample]
         dist_luma = dist_luma[::subsample]
     feats = extract_clip_features(
-        ref_luma, dist_luma, model=mdl, chunk_size=chunk_size, frame_cb=frame_cb
+        ref_luma, dist_luma, model=mdl, chunk_size=chunk_size,
+        frame_cb=frame_cb, precision=precision,
     )
     vmaf, boot = score_features(feats, mdl)
     name = mdl.name if hasattr(mdl, "name") else str(model)

@@ -136,16 +136,18 @@ def stream_score(
     with_ssim: bool = True,
     frame_cb: Optional[Callable[[int], None]] = None,
     subsample: int = 1,
+    precision: Optional[str] = None,
 ) -> ClipScores:
     """Score two video files without materialising them in memory.
 
     subsample=k scores every k-th source frame (libvmaf n_subsample
     semantics: motion is computed between the sampled frames; skipped frames
-    cost decode only, no feature work).
+    cost decode only, no feature work). precision overrides the model-driven
+    float/integer extractor choice.
     """
     subsample = max(1, int(subsample))
     mdl = get_model(model) if isinstance(model, str) else model
-    params = model_feature_params(mdl)
+    params = model_feature_params(mdl, precision)
     predictor = (
         BootstrapPredictor(mdl) if isinstance(mdl, BootstrapModel)
         else ScorePredictor(mdl)

@@ -47,14 +47,38 @@ def clip(golden):
 ])
 def test_vmaf_scores_pinned(golden, clip, model_name):
     ref, dist = clip
-    res = score_clip(ref, dist, model=model_name, chunk_size=4)
+    res = score_clip(ref, dist, model=model_name, chunk_size=4,
+                     precision="float")
     want = np.asarray(golden["vmaf"][model_name])
     np.testing.assert_allclose(res.vmaf, want, rtol=0, atol=0.01)
 
 
+@pytest.mark.parametrize("model_name", [
+    "vmaf_v0.6.1", "vmaf_v0.6.1neg", "vmaf_4k_v0.6.1",
+])
+def test_vmaf_integer_scores_pinned(golden, clip, model_name):
+    """Integer fixed-point path pins (VERDICT round-1 item 2): per-frame
+    scores of the default extractor family for integer models."""
+    ref, dist = clip
+    res = score_clip(ref, dist, model=model_name, chunk_size=4)
+    want = np.asarray(golden["vmaf_integer"][model_name])
+    np.testing.assert_allclose(res.vmaf, want, rtol=0, atol=0.01)
+
+
+def test_integer_features_pinned(golden, clip):
+    ref, dist = clip
+    res = score_clip(ref, dist, chunk_size=4, precision="integer")
+    for i, fr in enumerate(golden["frames_integer"]):
+        assert res.features["adm2"][i] == pytest.approx(fr["adm2"], abs=2e-4)
+        assert res.features["motion2"][i] == pytest.approx(fr["motion2"], abs=1e-3)
+        for s in range(4):
+            assert res.features[f"vif_scale{s}"][i] == pytest.approx(
+                fr["vif"][s], abs=2e-4), (i, s)
+
+
 def test_features_pinned(golden, clip):
     ref, dist = clip
-    res = score_clip(ref, dist, chunk_size=4)
+    res = score_clip(ref, dist, chunk_size=4, precision="float")
     for i, fr in enumerate(golden["frames"]):
         assert res.features["adm2"][i] == pytest.approx(fr["adm2"], abs=2e-4)
         assert res.features["motion2"][i] == pytest.approx(fr["motion2"], abs=1e-3)

@@ -64,7 +64,8 @@ def test_parity_vs_oracle_chain(model_name):
     rng = np.random.default_rng(1234)
     ref, dist = _clip(rng, n=5, h=108, w=144)
     model = get_model(model_name)
-    got = score_clip(ref, dist, model=model_name, chunk_size=3)
+    got = score_clip(ref, dist, model=model_name, chunk_size=3,
+                     precision="float")
     want = np.asarray(ScorePredictor(model)(_oracle_features(ref, dist, model)))
     np.testing.assert_allclose(got.vmaf, want, rtol=0, atol=0.01)
 
@@ -75,9 +76,14 @@ def test_parity_realistic_resolution():
     rng = np.random.default_rng(7)
     ref, dist = _clip(rng, n=2, h=540, w=960, noise=5.0)
     model = get_model("vmaf_v0.6.1")
-    got = score_clip(ref, dist, model=model, chunk_size=2)
+    got = score_clip(ref, dist, model=model, chunk_size=2, precision="float")
     want = np.asarray(ScorePredictor(model)(_oracle_features(ref, dist, model)))
     np.testing.assert_allclose(got.vmaf, want, rtol=0, atol=0.002)
+    # The default (model-driven) path for this integer model is the
+    # fixed-point emulation; its deviation from the float chain is the
+    # quantisation magnitude (pinned in test_integer.py), bounded here.
+    got_int = score_clip(ref, dist, model=model, chunk_size=2)
+    np.testing.assert_allclose(got_int.vmaf, want, rtol=0, atol=0.1)
 
 
 def test_chunked_equals_whole(rng):
