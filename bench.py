@@ -44,7 +44,15 @@ def make_clip_u8(n, h, w, seed=0):
     return (frames + ramp).astype(np.uint8)
 
 
-def bench_config(name, model_name, n, h, w, iters=4, log=print, backend=None):
+def bench_config(name, model_name, n, h, w, iters=4, log=print, backend=None,
+                 precision="float"):
+    """One jitted scoring step, timed.
+
+    precision="float" is the throughput configuration (fused Pallas f32
+    kernels; per-frame delta vs the integer feature family measured by
+    parity_check and pinned in tests/test_integer.py). precision="integer"
+    times the bit-faithful fixed-point path that integer models select by
+    default in the scoring pipeline."""
     import jax
     import jax.numpy as jnp
 
@@ -56,7 +64,7 @@ def bench_config(name, model_name, n, h, w, iters=4, log=print, backend=None):
     )
 
     model = get_model(model_name)
-    params = model_feature_params(model)
+    params = model_feature_params(model, precision)
     predictor = ScorePredictor(model)
 
     @jax.jit
@@ -159,6 +167,122 @@ def bench_config_with_metrics(name, model_name, n, h, w, iters=4, log=print):
     return fps
 
 
+def parity_check(log, n=8, h=1080, w=1920):
+    """Pallas-vs-XLA VMAF parity ON the live backend (VERDICT round-1 item 3).
+
+    On TPU this exercises the Mosaic-compiled kernels against the pure-XLA
+    path on identical inputs — the one place the real-chip numerics are
+    asserted (the CPU test suite only runs Pallas in interpret mode).
+    Also records the integer-vs-float feature-family delta on the same
+    inputs. Returns a dict with parity_max_delta (pallas vs xla) and
+    int_float_delta; parity_ok is False above the 0.01 budget."""
+    import jax
+    import jax.numpy as jnp
+
+    from pqa2_tpu.models.registry import get_model
+    from pqa2_tpu.models.svr import ScorePredictor
+    from pqa2_tpu.pipeline.features import (
+        extract_features_batched,
+        model_feature_params,
+    )
+
+    if jax.devices()[0].platform == "cpu":
+        h, w = 360, 640  # interpret-mode Pallas: keep the CPU path quick
+
+    model = get_model("vmaf_v0.6.1")
+    params = model_feature_params(model)
+    predictor = ScorePredictor(model)
+
+    def scores_for(backend, precision):
+        p = dict(params)
+        p["precision"] = precision
+
+        @jax.jit
+        def step(ref, dist):
+            feats = extract_features_batched(ref, dist, backend=backend, **p)
+            x = jnp.stack([feats[k] for k in model.feature_names], axis=-1)
+            return predictor(x)
+
+        r = jnp.asarray(make_clip_u8(n, h, w, seed=0), jnp.float32)
+        d = jnp.asarray(make_clip_u8(n, h, w, seed=1), jnp.float32)
+        return np.asarray(jax.block_until_ready(step(r, d)))
+
+    s_pallas = scores_for("pallas", "float")
+    s_xla = scores_for("xla", "float")
+    s_int = scores_for(None, "integer")
+    parity = float(np.max(np.abs(s_pallas - s_xla)))
+    int_float = float(np.max(np.abs(s_int - s_xla)))
+    out = {
+        "parity_max_delta": round(parity, 6),
+        "int_float_delta": round(int_float, 6),
+        "parity_ok": parity <= 0.01,
+        "shape": f"{n}x{h}x{w}",
+    }
+    log(f"[bench] parity: {out}")
+    return out
+
+
+def impair_clip(frames, scale=1.0, blur_sigma=0.0, jpeg_q=100):
+    """Coding-style impairment chain: downscale-upscale, Gaussian blur,
+    JPEG re-quantisation — the degradations a real bitrate ladder shows."""
+    import cv2
+
+    out = []
+    h, w = frames[0].shape
+    for f in frames:
+        g = f
+        if scale < 1.0:
+            sw, sh = max(16, int(w * scale)) & ~1, max(16, int(h * scale)) & ~1
+            g = cv2.resize(
+                cv2.resize(g, (sw, sh), interpolation=cv2.INTER_AREA),
+                (w, h), interpolation=cv2.INTER_LINEAR,
+            )
+        if blur_sigma > 0:
+            g = cv2.GaussianBlur(g, (0, 0), blur_sigma)
+        if jpeg_q < 100:
+            ok, enc = cv2.imencode(
+                ".jpg", g, [int(cv2.IMWRITE_JPEG_QUALITY), int(jpeg_q)]
+            )
+            assert ok
+            g = cv2.imdecode(enc, cv2.IMREAD_GRAYSCALE)
+        out.append(g)
+    return np.stack(out)
+
+
+# Ladder rungs: monotonically harsher coding impairments. A discriminative
+# bench must rank these (VERDICT round-1 item 5) — VMAF spread > 20 points
+# and strictly decreasing down the ladder.
+LADDER_RUNGS = (
+    {"name": "rung0_q75", "jpeg_q": 75},
+    {"name": "rung1_q60_s075", "jpeg_q": 60, "scale": 0.75, "blur_sigma": 0.6},
+    {"name": "rung2_q40_s050", "jpeg_q": 40, "scale": 0.50, "blur_sigma": 1.2},
+    {"name": "rung3_q15_s035", "jpeg_q": 15, "scale": 0.35, "blur_sigma": 2.0},
+)
+
+
+def make_natural_clip(n, h, w, seed=0):
+    """Video-like synthetic luma for the ladder: smooth base + band-limited
+    texture + a moving edge (JPEG/blur respond to this like real content,
+    unlike full-band noise which masks everything)."""
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    base = 96 + 60 * np.sin(2 * np.pi * xx / w * 3) * np.cos(
+        2 * np.pi * yy / h * 2)
+    tex = rng.standard_normal((h, w)).astype(np.float32)
+    for _ in range(3):
+        tex = (tex + np.roll(tex, 1, 0) + np.roll(tex, -1, 0)
+               + np.roll(tex, 1, 1) + np.roll(tex, -1, 1)) / 5.0
+    tex *= 24.0 / max(tex.std(), 1e-6)
+    frames = []
+    for t in range(n):
+        f = base + tex
+        x0 = int((t / max(n - 1, 1)) * (w - w // 4))
+        f = f.copy()
+        f[h // 4 : h // 2, x0 : x0 + w // 8] += 70
+        frames.append(np.clip(f, 0, 255).astype(np.uint8))
+    return np.stack(frames)
+
+
 def bench_full(log):
     """--full: all five BASELINE.json configs, written to BENCH_FULL.json.
 
@@ -180,10 +304,20 @@ def bench_full(log):
         "1080p vmaf_v0.6.1neg", "vmaf_v0.6.1neg", 32, 1080, 1920, log=log)
     results["uhd_fps"] = bench_config(
         "4k vmaf_4k_v0.6.1", "vmaf_4k_v0.6.1", 32, 2160, 3840, log=log)
+    try:
+        results["uhd_integer_fps"] = bench_config(
+            "4k integer path", "vmaf_4k_v0.6.1", 32, 2160, 3840, log=log,
+            precision="integer")
+    except Exception as e:
+        log(f"[bench] integer-path 4k failed: {e}")
 
-    # Config 4: capture -> align -> score wall clock on a synthetic chain.
-    from pqa2_tpu.app.bookend_aligner import BookendAligner
-    from pqa2_tpu.app.vmaf_analyzer import VMAFAnalyzer
+    results["parity"] = parity_check(log)
+
+    # Config 4: capture -> align -> score wall clock on a synthetic chain,
+    # through the decode-once combined workflow (app/workflow.py — alignment
+    # and scoring share the in-memory frames; the two-pass align-to-disk
+    # path is what the reference app does and what round 1 measured).
+    from pqa2_tpu.app.workflow import run_combined_workflow
 
     tmp = tempfile.mkdtemp(prefix="bench_full_")
     n, h, w = 30, 540, 960
@@ -200,50 +334,58 @@ def bench_full(log):
     cap_path = os.path.join(tmp, "cap.y4m")
     write_y4m(cap_path, mk(np.stack(cap)))
     t0 = time.perf_counter()
-    res = BookendAligner().align_bookend_videos(ref_path, cap_path)
-    analyzer = VMAFAnalyzer()
-    analyzer.set_output_directory(tmp)
-    scored = analyzer.analyze_videos(res["aligned_reference"],
-                                     res["aligned_captured"])
+    first = run_combined_workflow(ref_path, cap_path, out_dir=tmp)
     wall = time.perf_counter() - t0
     # Steady-state: a second capture through the already-traced programs —
     # what a capture-QA session (or service) sees for every run after the
     # first. The first run pays one-time per-process jit tracing +
     # compile-cache lookups.
     t0 = time.perf_counter()
-    res2 = BookendAligner().align_bookend_videos(ref_path, cap_path)
-    scored2 = analyzer.analyze_videos(res2["aligned_reference"],
-                                      res2["aligned_captured"])
+    second = run_combined_workflow(ref_path, cap_path, out_dir=tmp)
     wall2 = time.perf_counter() - t0
+    scored, scored2 = first["analysis"], second["analysis"]
     results["bookend_workflow"] = {
         "frames": scored["frame_count"],
         "first_run_seconds": round(wall, 2),
         "steady_seconds": round(wall2, 2),
         "steady_fps": round(scored2["frame_count"] / wall2, 2),
         "vmaf": round(scored["vmaf_score"], 3),
-        "confidence": res["confidence"],
+        "confidence": first["alignment"]["confidence"],
     }
     log(f"[bench] bookend workflow: {results['bookend_workflow']}")
 
-    # Config 5: multi-clip ladder.
+    # Config 5: multi-clip bitrate-ladder with real coding-style impairments
+    # (downscale + blur + JPEG re-quantisation). The bench asserts the
+    # framework *discriminates*: VMAF strictly decreasing down the ladder
+    # with > 20 points of spread.
     from pqa2_tpu.pipeline.batch import run_batch_suite
 
-    dists = []
-    rng = np.random.default_rng(9)
-    for i, sigma in enumerate((1, 3, 6, 10)):
-        d = np.clip(ref_y.astype(np.int16)
-                    + rng.integers(-sigma, sigma + 1, ref_y.shape), 0, 255
-                    ).astype(np.uint8)
-        p = os.path.join(tmp, f"rung{i}.y4m")
+    lad_y = make_natural_clip(n, h, w, seed=11)
+    lad_ref = os.path.join(tmp, "ladder_ref.y4m")
+    write_y4m(lad_ref, mk(lad_y))
+    entries = []
+    for rung in LADDER_RUNGS:
+        d = impair_clip(lad_y, scale=rung.get("scale", 1.0),
+                        blur_sigma=rung.get("blur_sigma", 0.0),
+                        jpeg_q=rung.get("jpeg_q", 100))
+        p = os.path.join(tmp, f"{rung['name']}.y4m")
         write_y4m(p, mk(d))
-        dists.append([ref_path, p])
-    summary = run_batch_suite({"pairs": dists},
+        entries.append({"reference": lad_ref, "distorted": p,
+                        "name": rung["name"]})
+    summary = run_batch_suite({"entries": entries},
                               out_dir=os.path.join(tmp, "suite"), log=log)
+    rung_scores = [c["vmaf"] for c in summary["clips"]]
+    spread = max(rung_scores) - min(rung_scores)
+    monotone = all(a > b for a, b in zip(rung_scores, rung_scores[1:]))
     results["ladder"] = {
         "n_clips": summary["n_clips"],
         "aggregate_fps": summary["aggregate_fps"],
-        "vmaf_range": [min(c["vmaf"] for c in summary["clips"]),
-                       max(c["vmaf"] for c in summary["clips"])],
+        "rung_vmaf": [round(v, 2) for v in rung_scores],
+        "vmaf_range": [round(min(rung_scores), 2),
+                       round(max(rung_scores), 2)],
+        "spread": round(spread, 2),
+        "monotone": monotone,
+        "discriminative": bool(monotone and spread > 20.0),
     }
     log(f"[bench] ladder: {results['ladder']}")
     with open("BENCH_FULL.json", "w") as f:
@@ -274,7 +416,7 @@ def main():
         return
 
     small = platform == "cpu"  # CI/dev fallback; real numbers need the TPU
-    fps_hd = fps_4k = None
+    fps_hd = fps_4k = fps_4k_int = None
     note = ""
     if small:
         log("[bench] WARNING: cpu backend — reduced shapes, numbers not meaningful")
@@ -330,6 +472,13 @@ def main():
                 32, 1080, 1920, log=log)
         except Exception as e:
             log(f"[bench] 1080p failed: {e}")
+        fps_4k_int = None
+        try:
+            fps_4k_int = bench_config(
+                "4k integer path", "vmaf_4k_v0.6.1", n_4k, 2160, 3840,
+                log=log, precision="integer")
+        except Exception as e:
+            log(f"[bench] integer-path 4k failed: {e}")
         if fps_4k is None and fps_hd is not None:
             fps_4k = fps_hd / 4.0  # pixel-count extrapolation, flagged below
             note = (note + "; " if note else "") + "4k estimated from 1080p/4"
@@ -338,15 +487,27 @@ def main():
             fps_hd = fps_hd or 0.0
             note = (note + "; " if note else "") + "device unavailable"
 
+    try:
+        parity = parity_check(log)
+    except Exception as e:
+        parity = {"error": str(e)}
+        log(f"[bench] parity check failed: {e}")
+
     out = {
         "metric": "vmaf_4k_fps_per_chip",
         "value": round(fps_4k, 2),
         "unit": "frames/sec",
         "vs_baseline": round(fps_4k / BASELINE_4K_FPS, 2),
         "vmaf_1080p_fps": round(fps_hd, 2) if fps_hd else None,
+        "vmaf_4k_integer_fps": round(fps_4k_int, 2) if fps_4k_int else None,
         "backend": platform,
         "target_fps": 60.0,
+        "parity": parity,
     }
+    if parity.get("parity_ok") is False:
+        note = (note + "; " if note else "") + (
+            f"PARITY FAIL: pallas-vs-xla delta "
+            f"{parity.get('parity_max_delta')} > 0.01")
     if small:
         note = (note + "; " if note else "") + (
             "cpu backend, reduced shapes — numbers not meaningful")

@@ -16,11 +16,14 @@ without a card — the test double the reference's fallback tables imply
 from __future__ import annotations
 
 import enum
+import json
 import logging
 import math
 import os
 import shutil
+import signal as _signal
 import subprocess
+import tempfile
 import threading
 import time
 from datetime import datetime
@@ -33,6 +36,139 @@ from pqa2_tpu.utils.signals import Signal
 logger = logging.getLogger(__name__)
 
 MAX_REPAIR_ATTEMPTS = 3
+
+# -- capture child hygiene ----------------------------------------------------
+#
+# The reference sweeps *every* process named ffmpeg before each capture
+# (app/capture.py:412-454, psutil name match) so a crashed run can't hold the
+# DeckLink device. A name-match kill is a shotgun; this framework keeps a
+# registry of the capture children it spawned (pid + cmdline) and the sweep
+# kills only registered pids whose live cmdline still matches the recorded
+# one — same de-conflict guarantee, zero collateral.
+
+_DEFAULT_REGISTRY = os.path.join(tempfile.gettempdir(), "pqa2_capture_pids.json")
+
+
+def _read_registry(path: str) -> List[Dict]:
+    try:
+        with open(path) as f:
+            return json.load(f) or []
+    except (OSError, ValueError):
+        return []
+
+
+def _write_registry(path: str, entries: List[Dict]) -> None:
+    tmp = f"{path}.tmp"
+    with open(tmp, "w") as f:
+        json.dump(entries, f)
+    os.replace(tmp, path)
+
+
+def _live_cmdline(pid: int) -> Optional[List[str]]:
+    try:
+        with open(f"/proc/{pid}/cmdline", "rb") as f:
+            raw = f.read()
+    except OSError:
+        return None
+    return [a.decode(errors="replace") for a in raw.split(b"\0") if a]
+
+
+def register_capture_pid(pid: int, cmd: List[str],
+                         registry_path: str = _DEFAULT_REGISTRY) -> None:
+    entries = _read_registry(registry_path)
+    entries.append({"pid": int(pid), "cmd": list(map(str, cmd))})
+    _write_registry(registry_path, entries)
+
+
+def unregister_capture_pid(pid: int,
+                           registry_path: str = _DEFAULT_REGISTRY) -> None:
+    entries = [e for e in _read_registry(registry_path)
+               if e.get("pid") != int(pid)]
+    _write_registry(registry_path, entries)
+
+
+def sweep_lingering_captures(registry_path: str = _DEFAULT_REGISTRY,
+                             kill_wait: float = 2.0) -> int:
+    """Kill capture children left over from crashed runs (pre-capture
+    hygiene, reference app/capture.py:412-454). Only pids we registered AND
+    whose current cmdline equals the recorded one are touched (a recycled
+    pid never matches). Returns the number of processes stopped."""
+    entries = _read_registry(registry_path)
+    if not entries:
+        return 0
+    stopped = 0
+    survivors: List[Dict] = []
+    for e in entries:
+        pid, cmd = int(e.get("pid", -1)), e.get("cmd") or []
+        live = _live_cmdline(pid) if pid > 0 else None
+        if live is None:
+            continue  # exited already; drop the stale entry
+        if live != cmd:
+            logger.info("pid %d was recycled (cmdline mismatch); skipping", pid)
+            continue
+        logger.info("stopping lingering capture child pid %d", pid)
+        try:
+            os.kill(pid, _signal.SIGINT)
+            deadline = time.time() + kill_wait
+            while time.time() < deadline and _live_cmdline(pid) == cmd:
+                time.sleep(0.05)
+            if _live_cmdline(pid) == cmd:
+                os.kill(pid, _signal.SIGKILL)
+            stopped += 1
+        except OSError as err:
+            logger.warning("could not stop pid %d: %s", pid, err)
+            survivors.append(e)
+    _write_registry(registry_path, survivors)
+    return stopped
+
+
+def graceful_stop(proc: subprocess.Popen, quit_wait: float = 5.0,
+                  int_wait: float = 10.0, term_wait: float = 5.0) -> Optional[int]:
+    """Stop an ffmpeg-style child through the escalation ladder the
+    reference uses (app/capture.py:189-256): 'q' on stdin (lets ffmpeg
+    finalise the container index), then SIGINT, then terminate(), then
+    kill(). Each rung waits before escalating. Returns the exit code."""
+    if proc.poll() is not None:
+        return proc.returncode
+
+    def _wait(seconds: float) -> bool:
+        try:
+            proc.wait(timeout=seconds)
+            return True
+        except subprocess.TimeoutExpired:
+            return False
+
+    if proc.stdin is not None:
+        try:
+            data = "q\n" if getattr(proc.stdin, "encoding", None) else b"q\n"
+            proc.stdin.write(data)
+            proc.stdin.flush()
+            logger.info("sent 'q' to capture child")
+            if _wait(quit_wait):
+                return proc.returncode
+        except (OSError, ValueError) as e:
+            logger.debug("could not send 'q': %s", e)
+    try:
+        proc.send_signal(_signal.SIGINT)
+        logger.info("sent SIGINT to capture child")
+        if _wait(int_wait):
+            return proc.returncode
+    except OSError:
+        pass
+    try:
+        proc.terminate()
+        logger.info("terminated capture child")
+        if _wait(term_wait):
+            return proc.returncode
+    except OSError:
+        pass
+    logger.warning("capture child ignored all signals; killing")
+    try:
+        proc.kill()
+        proc.wait(timeout=5.0)
+    except (OSError, subprocess.TimeoutExpired):
+        pass
+    return proc.returncode
 
 
 class CaptureState(enum.Enum):
@@ -54,13 +190,19 @@ class CaptureBackend:
                 options: Dict, progress_cb) -> bool:
         raise NotImplementedError
 
+    def stop(self) -> None:
+        """Request a graceful stop of an in-flight capture (optional)."""
+
 
 class DeckLinkBackend(CaptureBackend):
     """ffmpeg -f decklink capture (the reference's hardware path,
     app/capture.py:917-998). Requires an ffmpeg binary + a card."""
 
-    def __init__(self, ffmpeg_path: Optional[str] = None):
+    def __init__(self, ffmpeg_path: Optional[str] = None,
+                 registry_path: str = _DEFAULT_REGISTRY):
         self.ffmpeg_path = ffmpeg_path or shutil.which("ffmpeg")
+        self.registry_path = registry_path
+        self._proc: Optional[subprocess.Popen] = None
 
     def build_command(self, device_name: str, duration: float,
                       output_path: str, options: Dict) -> List[str]:
@@ -87,24 +229,46 @@ class DeckLinkBackend(CaptureBackend):
     def capture(self, device_name, duration, output_path, options, progress_cb):
         if not self.ffmpeg_path:
             raise RuntimeError("ffmpeg binary not found; DeckLink capture unavailable")
+        # Pre-capture hygiene: a crashed earlier run may still hold the
+        # card; stop any child we previously registered (reference
+        # app/capture.py:412-454 sweeps by process name — see the registry
+        # docstring for why this is pid+cmdline instead).
+        swept = sweep_lingering_captures(self.registry_path)
+        if swept:
+            logger.info("swept %d lingering capture process(es)", swept)
+            time.sleep(0.5)  # let the driver release the device
         cmd = self.build_command(device_name, duration, output_path, options)
         logger.info("capture command: %s", " ".join(cmd))
         proc = subprocess.Popen(
-            cmd, stdout=subprocess.DEVNULL, stderr=subprocess.PIPE, text=True
+            cmd, stdin=subprocess.PIPE, stdout=subprocess.DEVNULL,
+            stderr=subprocess.PIPE, text=True,
         )
-        start = time.time()
-        watchdog = duration * 2 + 10  # terminate runaways (capture.py:80-85)
-        while proc.poll() is None:
-            elapsed = time.time() - start
-            progress_cb(min(int(100 * elapsed / max(duration, 0.01)), 99))
-            if elapsed > watchdog:
-                proc.terminate()
-                raise TimeoutError("capture exceeded 2x expected duration")
-            time.sleep(0.25)
-        if proc.returncode != 0:
-            stderr = proc.stderr.read() if proc.stderr else ""
-            raise RuntimeError(f"ffmpeg capture failed: {stderr[-400:]}")
-        return True
+        self._proc = proc
+        register_capture_pid(proc.pid, cmd, self.registry_path)
+        try:
+            start = time.time()
+            watchdog = duration * 2 + 10  # terminate runaways (capture.py:80-85)
+            while proc.poll() is None:
+                elapsed = time.time() - start
+                progress_cb(min(int(100 * elapsed / max(duration, 0.01)), 99))
+                if elapsed > watchdog:
+                    graceful_stop(proc)
+                    raise TimeoutError("capture exceeded 2x expected duration")
+                time.sleep(0.25)
+            if proc.returncode != 0:
+                stderr = proc.stderr.read() if proc.stderr else ""
+                raise RuntimeError(f"ffmpeg capture failed: {stderr[-400:]}")
+            return True
+        finally:
+            self._proc = None
+            unregister_capture_pid(proc.pid, self.registry_path)
+
+    def stop(self) -> None:
+        """Graceful-stop ladder on the in-flight child ('q' -> SIGINT ->
+        terminate -> kill, reference app/capture.py:189-256)."""
+        proc = self._proc
+        if proc is not None:
+            graceful_stop(proc)
 
 
 class FilePlaybackBackend(CaptureBackend):
@@ -293,8 +457,13 @@ class CaptureManager:
         return True
 
     def stop_capture(self, cleanup_temp: bool = False) -> None:
-        """Graceful stop (app/capture.py:770-828)."""
+        """Graceful stop (app/capture.py:770-828): signal the worker, run
+        the backend's stop ladder on any in-flight child, then join."""
         self._stop.set()
+        try:
+            self.backend.stop()
+        except Exception:
+            logger.exception("backend stop failed")
         if self._thread is not None and self._thread.is_alive():
             self._thread.join(timeout=5.0)
         if cleanup_temp and self.current_output_path:

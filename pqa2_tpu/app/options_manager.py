@@ -165,6 +165,11 @@ class OptionsManager:
             else:
                 self.settings = copy.deepcopy(self.default_settings)
                 self._write()
+            configured = (self.settings.get("paths") or {}).get("ffmpeg_path")
+            if configured:
+                from pqa2_tpu.io import ffmpeg_pipe
+
+                ffmpeg_pipe.configure(ffmpeg_path=configured)
             return self.settings
 
     def _backfill(self, dst: Dict, src: Dict) -> bool:
@@ -267,6 +272,11 @@ class OptionsManager:
     def get_ffmpeg_path(self):
         configured = self.get_setting("paths", "ffmpeg_path")
         if configured:
+            # Make the configured binary visible to the pipe-ingest fallback
+            # (io/ffmpeg_pipe.py resolves it after env overrides).
+            from pqa2_tpu.io import ffmpeg_pipe
+
+            ffmpeg_pipe.configure(ffmpeg_path=configured)
             return configured
         from pqa2_tpu.app import devices
 

@@ -235,6 +235,84 @@ class VMAFAnalyzer:
             )
         self.analysis_progress.emit(80)
 
+        return self._finalize(
+            scores, fps=fps, model=model,
+            reference_path=reference_path, distorted_path=distorted_path,
+            width=dist_info_d["width"], height=dist_info_d["height"],
+        )
+
+    def analyze_frames(
+        self,
+        ref_planes: List[Dict],
+        dist_planes: List[Dict],
+        fps: float = 30.0,
+        model: Optional[str] = None,
+        reference_name: str = "reference",
+        distorted_name: str = "distorted",
+        bit_depth: int = 8,
+    ) -> Optional[Dict]:
+        """Score already-decoded planar frames (VideoReader output dicts).
+
+        The decode-once entry point for the combined capture->align->score
+        workflow (app/workflow.py): the aligner hands its in-memory windows
+        straight to scoring instead of writing trims to disk and re-reading
+        them. Emits the same signals and writes the same artifacts as
+        analyze_videos."""
+        with self._lock:
+            self._abort.clear()
+            try:
+                return self._analyze_frames(
+                    ref_planes, dist_planes, fps, model or self.model,
+                    reference_name, distorted_name, bit_depth,
+                )
+            except Exception as e:
+                logger.exception("analysis failed")
+                msg = f"VMAF analysis error: {e}"
+                self.error_occurred.emit(msg)
+                self.analysis_failed.emit(msg)
+                return None
+
+    def _analyze_frames(self, ref_planes, dist_planes, fps, model,
+                        reference_name, distorted_name, bit_depth):
+        from pqa2_tpu.pipeline.scoring import score_planes
+        from pqa2_tpu.utils.profiling import ThroughputMeter
+
+        if not ref_planes or not dist_planes:
+            raise ValueError("empty frame list")
+        n = min(len(ref_planes), len(dist_planes))
+        self.status_update.emit(f"Starting VMAF analysis with model {model}...")
+        self.analysis_progress.emit(5)
+        meter = ThroughputMeter(
+            n,
+            progress_cb=lambda p: self.analysis_progress.emit(5 + p * 75 // 100),
+            status_cb=self.status_update.emit,
+        )
+
+        def on_chunk(k):
+            if self._abort.is_set():
+                raise InterruptedError("analysis terminated")
+            meter.add(k)
+
+        scores = score_planes(
+            ref_planes[:n], dist_planes[:n], model=model,
+            chunk_size=self.chunk_size,
+            with_psnr=self.psnr_enabled, with_ssim=self.ssim_enabled,
+            frame_cb=on_chunk, bit_depth=bit_depth,
+            subsample=self.feature_subsample,
+            precision=self.feature_precision,
+        )
+        self.analysis_progress.emit(80)
+        h, w = ref_planes[0]["y"].shape
+        return self._finalize(
+            scores, fps=fps, model=model,
+            reference_path=reference_name, distorted_path=distorted_name,
+            width=w, height=h,
+        )
+
+    def _finalize(self, scores: ClipScores, *, fps, model,
+                  reference_path, distorted_path, width, height) -> Dict:
+        """Write the on-disk artifacts and build the reference-shaped results
+        dict (shared by the file and in-memory entry points)."""
         out_dir = self.output_directory or os.path.dirname(distorted_path) or "."
         os.makedirs(out_dir, exist_ok=True)
         base = self.test_name or os.path.splitext(os.path.basename(distorted_path))[0]
@@ -281,8 +359,8 @@ class VMAFAnalyzer:
             "distorted_path": distorted_path,
             "raw_results": raw_results,
             "model": model,
-            "width": dist_info_d["width"],
-            "height": dist_info_d["height"],
+            "width": width,
+            "height": height,
             "frame_count": int(scores.n_frames),
             "duration": float(scores.n_frames * scores.frame_step / fps),
         }

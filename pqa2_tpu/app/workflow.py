@@ -1,0 +1,220 @@
+"""Combined capture -> align -> score workflow (decode once).
+
+The reference runs this as the AnalysisTab "combined workflow"
+(app/ui/tabs/analysis_tab.py:174): bookend alignment writes trimmed videos
+to disk and VMAFAnalyzer then re-reads them — three full decode passes plus
+two encode passes on the hot path. Here the capture and reference files are
+decoded ONCE; alignment statistics and scoring share the in-memory frames,
+and the aligned .y4m artifacts (still part of the on-disk contract) are
+written on a background thread while the device scores.
+
+Engine-only module: no Qt. The GUI and CLI both drive it.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import threading
+import time
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from pqa2_tpu.align.temporal import align_bookend_clips
+from pqa2_tpu.io.video import VideoReader
+from pqa2_tpu.io.y4m import write_y4m
+
+logger = logging.getLogger(__name__)
+
+
+def _decode(path: str):
+    with VideoReader(path) as r:
+        info = r.info
+        frames = list(r)
+    if not frames:
+        raise ValueError(f"empty input video: {path}")
+    return info, frames
+
+
+def _shift_depth(frames: List[Dict], from_depth: int, to_depth: int):
+    """Exact depth promotion (<< diff) so both clips score on one scale."""
+    if from_depth == to_depth:
+        return frames
+    shift = to_depth - from_depth
+    return [
+        {k: (v.astype(np.uint16) << shift) for k, v in f.items()}
+        for f in frames
+    ]
+
+
+def run_combined_workflow(
+    reference_path: str,
+    captured_path: str,
+    *,
+    options_manager=None,
+    out_dir: Optional[str] = None,
+    model: Optional[str] = None,
+    test_name: Optional[str] = None,
+    aligner=None,
+    analyzer=None,
+    write_aligned: bool = True,
+) -> Optional[Dict]:
+    """Decode-once bookend workflow. Returns
+    ``{"alignment": <BookendAligner-shaped dict>, "analysis":
+    <VMAFAnalyzer-shaped dict>, "wall_seconds": float}`` or None on failure
+    (errors are emitted on the aligner/analyzer error signals, mirroring the
+    reference tab's behavior).
+
+    ``aligner``/``analyzer`` instances are optional — pass them to receive
+    progress/status/complete signals; fresh engine instances are created
+    otherwise.
+    """
+    from pqa2_tpu.app.bookend_aligner import AlignmentState, BookendAligner
+    from pqa2_tpu.app.vmaf_analyzer import VMAFAnalyzer
+
+    t_start = time.perf_counter()
+    aligner = aligner or BookendAligner(options_manager)
+    analyzer = analyzer or VMAFAnalyzer(options_manager)
+    if out_dir:
+        analyzer.set_output_directory(out_dir)
+    if test_name:
+        analyzer.set_test_name(test_name)
+
+    aligner.state = AlignmentState.RUNNING
+    try:
+        aligner.status_update.emit("Starting white bookend alignment process...")
+        for p in (reference_path, captured_path):
+            if not os.path.exists(p):
+                raise FileNotFoundError(f"video file not found: {p}")
+        aligner.alignment_progress.emit(10)
+
+        ref_info, ref_frames = _decode(reference_path)
+        cap_info, cap_frames = _decode(captured_path)
+        depth = max(ref_info.bit_depth, cap_info.bit_depth)
+        ref_frames = _shift_depth(ref_frames, ref_info.bit_depth, depth)
+        cap_frames = _shift_depth(cap_frames, cap_info.bit_depth, depth)
+
+        aligner.status_update.emit(
+            "Detecting white bookend frames in captured video...")
+        aligner.alignment_progress.emit(30)
+        ref_luma = np.stack([f["y"] for f in ref_frames])
+        cap_luma = np.stack([f["y"] for f in cap_frames])
+        # Detection thresholds are defined on the 8-bit scale.
+        if depth > 8:
+            div = float(1 << (depth - 8))
+            ref_luma = ref_luma.astype(np.float32) / div
+            cap_luma = cap_luma.astype(np.float32) / div
+        result = align_bookend_clips(
+            ref_luma, cap_luma,
+            fps=cap_info.frame_rate or 30.0,
+            config=aligner._config(),
+        )
+        aligner.alignment_progress.emit(60)
+
+        r0, r1 = result.ref_range
+        c0, c1 = result.cap_range
+        ref_window = ref_frames[r0:r1]
+        cap_window = cap_frames[c0:c1]
+
+        motion_compensated = False
+        if aligner._motion_compensation_enabled():
+            from pqa2_tpu.align.motioncomp import compensate, estimate_shifts
+
+            aligner.status_update.emit("Applying motion compensation...")
+            shifts = estimate_shifts(
+                ref_luma[r0:r1].astype(np.float32),
+                cap_luma[c0:c1].astype(np.float32),
+            )
+            if np.any(shifts != 0):
+                cap_window = [
+                    {
+                        "y": compensate(f["y"][None], s[None])[0],
+                        "u": compensate(f["u"][None], (s // 2)[None])[0],
+                        "v": compensate(f["v"][None], (s // 2)[None])[0],
+                    }
+                    for f, s in zip(cap_window, shifts)
+                ]
+            motion_compensated = True
+
+        # Aligned .y4m artifacts (the contract the reference fulfils with
+        # re-encoded trims) are written while the device scores.
+        base_dir = os.path.dirname(captured_path) or "."
+        base = os.path.splitext(os.path.basename(captured_path))[0]
+        aligned_ref = os.path.join(base_dir, f"{base}_ref_aligned.y4m")
+        aligned_cap = os.path.join(base_dir, f"{base}_aligned.y4m")
+        fps_pair = (int(round((ref_info.frame_rate or 30.0) * 1000)), 1000)
+        writer_err: List[Exception] = []
+
+        colorspace = "C420mpeg2" if depth == 8 else f"C420p{depth}"
+
+        def _write_artifacts():
+            try:
+                write_y4m(aligned_ref, ref_window, fps=fps_pair,
+                          colorspace=colorspace)
+                write_y4m(aligned_cap, cap_window, fps=fps_pair,
+                          colorspace=colorspace)
+            except Exception as e:  # surfaced after join
+                writer_err.append(e)
+
+        writer = None
+        if write_aligned:
+            writer = threading.Thread(target=_write_artifacts, daemon=True)
+            writer.start()
+
+        import dataclasses
+
+        alignment = {
+            "alignment_method": "bookend",
+            "offset_frames": result.offset_frames,
+            "offset_seconds": result.offset_seconds,
+            "confidence": result.confidence,
+            "aligned_reference": aligned_ref if write_aligned else None,
+            "aligned_captured": aligned_cap if write_aligned else None,
+            "bookend_info": {
+                "first_bookend": dataclasses.asdict(result.bookends[0]),
+                "last_bookend": dataclasses.asdict(result.bookends[-1]),
+                "content_duration": result.content_duration,
+                "motion_compensated": motion_compensated,
+            },
+            "ref_range": list(result.ref_range),
+            "cap_range": list(result.cap_range),
+            "is_fallback": result.is_fallback,
+        }
+        aligner.state = AlignmentState.COMPLETE
+        aligner.alignment_progress.emit(100)
+        aligner.status_update.emit("White bookend alignment complete!")
+        aligner.alignment_complete.emit(alignment)
+    except Exception as e:
+        aligner.state = AlignmentState.ERROR
+        logger.exception("alignment failed")
+        aligner.error_occurred.emit(f"Error in bookend alignment: {e}")
+        return None
+
+    analysis = analyzer.analyze_frames(
+        ref_window,
+        cap_window,
+        fps=cap_info.frame_rate or 30.0,
+        model=model,
+        reference_name=aligned_ref,
+        distorted_name=aligned_cap,
+        bit_depth=depth,
+    )
+    if writer is not None:
+        writer.join()
+        if writer_err:
+            logger.warning("aligned artifact write failed: %s", writer_err[0])
+    if analysis is None:
+        return None
+
+    if aligner.delete_capture_after_alignment:
+        try:
+            os.remove(captured_path)
+        except OSError as e:
+            logger.warning("could not delete capture: %s", e)
+
+    return {
+        "alignment": alignment,
+        "analysis": analysis,
+        "wall_seconds": round(time.perf_counter() - t_start, 3),
+    }

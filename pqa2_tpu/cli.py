@@ -99,24 +99,20 @@ def cmd_capture(args) -> int:
 
 def cmd_full(args) -> int:
     """Combined workflow: align then score then report
-    (the reference AnalysisTab pipeline, app/ui/tabs/analysis_tab.py:174)."""
-    from pqa2_tpu.app.bookend_aligner import BookendAligner
+    (the reference AnalysisTab pipeline, app/ui/tabs/analysis_tab.py:174).
+    Decode-once fast path: alignment and scoring share the in-memory frames
+    (app/workflow.py)."""
     from pqa2_tpu.app.report_generator import ReportGenerator
-    from pqa2_tpu.app.vmaf_analyzer import VMAFAnalyzer
+    from pqa2_tpu.app.workflow import run_combined_workflow
 
-    aligner = BookendAligner()
-    res = aligner.align_bookend_videos(args.reference, args.capture)
-    if res is None:
-        return 1
-    analyzer = VMAFAnalyzer()
-    analyzer.model = args.model
     out_dir = args.out or os.path.dirname(args.capture) or "."
-    analyzer.set_output_directory(out_dir)
-    results = analyzer.analyze_videos(
-        res["aligned_reference"], res["aligned_captured"], model=args.model
+    combined = run_combined_workflow(
+        args.reference, args.capture, out_dir=out_dir, model=args.model
     )
-    if results is None:
+    if combined is None:
         return 1
+    res = combined["alignment"]
+    results = combined["analysis"]
     gen = ReportGenerator()
     pdf = gen.generate_report(results, os.path.join(out_dir, "report.pdf"))
     html = gen.generate_html_report(results, os.path.join(out_dir, "report.html"))

@@ -69,6 +69,7 @@ class VideoReader:
         ext = os.path.splitext(self.path)[1].lower()
         self._y4m = None
         self._cap = None
+        self._pipe = None
         if ext == ".y4m":
             self._y4m = Y4MReader(self.path)
             h = self._y4m.header
@@ -85,13 +86,27 @@ class VideoReader:
                 bit_depth=h.bit_depth,
             )
         else:
-            if cv2 is None:
-                raise RuntimeError(
-                    f"OpenCV unavailable; cannot decode {self.path!r}"
-                )
-            cap = cv2.VideoCapture(self.path)
-            if not cap.isOpened():
-                raise IOError(f"cannot open video: {self.path}")
+            cap = None
+            if cv2 is not None:
+                cap = cv2.VideoCapture(self.path)
+                if not cap.isOpened():
+                    cap.release()
+                    cap = None
+            if cap is None:
+                # OpenCV missing or its bundled FFmpeg lacks the codec:
+                # fall back to an external-ffmpeg rawvideo pipe (the
+                # reference's only decode path, app/utils.py:572-667).
+                if not os.path.exists(self.path):
+                    raise IOError(f"cannot open video: {self.path}")
+                from pqa2_tpu.io.ffmpeg_pipe import FFmpegPipeReader
+
+                try:
+                    self._pipe = FFmpegPipeReader(self.path)
+                except RuntimeError as e:
+                    raise IOError(
+                        f"cannot open video: {self.path} ({e})") from e
+                self.info = self._pipe.info
+                return
             self._cap = cap
             fps = cap.get(cv2.CAP_PROP_FPS) or 0.0
             n = int(cap.get(cv2.CAP_PROP_FRAME_COUNT) or 0)
@@ -118,16 +133,21 @@ class VideoReader:
             self._y4m.close()
         if self._cap is not None:
             self._cap.release()
+        if self._pipe is not None:
+            self._pipe.close()
 
     def seek_frame(self, index: int) -> None:
         if self._cap is not None:
             self._cap.set(cv2.CAP_PROP_POS_FRAMES, index)
         else:
-            raise NotImplementedError("y4m reader is forward-only")
+            raise NotImplementedError(
+                "y4m/pipe readers are forward-only")
 
     def read_frame(self) -> Optional[Dict[str, np.ndarray]]:
         if self._y4m is not None:
             return self._y4m.read_frame()
+        if self._pipe is not None:
+            return self._pipe.read_frame()
         ok, frame = self._cap.read()
         if not ok:
             return None

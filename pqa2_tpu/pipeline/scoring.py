@@ -232,6 +232,8 @@ def score_planes(
     with_ssim: bool = True,
     frame_cb=None,
     bit_depth: int = 8,
+    subsample: int = 1,
+    precision: Optional[str] = None,
 ) -> ClipScores:
     """Full scoring from planar YUV frame lists (io.VideoReader output):
     VMAF on luma + optional PSNR/SSIM over all three planes.
@@ -240,7 +242,13 @@ def score_planes(
     8-bit scale (libvmaf normalises high-bit-depth input the same way) and
     PSNR uses the native peak. For per-stream depths use
     pipeline.streaming.stream_score, which reads them from the container.
+    subsample=k keeps every k-th frame (stream_score semantics: skipped
+    frames cost nothing, all metrics run on the sampled frames).
     """
+    subsample = max(1, int(subsample or 1))
+    if subsample > 1:
+        ref_planes = ref_planes[::subsample]
+        dist_planes = dist_planes[::subsample]
     div = float(1 << (bit_depth - 8))
     # Keep the source dtype: device transfers of uint8 are 4x smaller than
     # f32 and every op casts on device.
@@ -250,8 +258,9 @@ def score_planes(
         ref_y = ref_y.astype(np.float32) / div
         dist_y = dist_y.astype(np.float32) / div
     result = score_clip(ref_y, dist_y, model=model, chunk_size=chunk_size,
-                        frame_cb=frame_cb)
+                        frame_cb=frame_cb, precision=precision)
     result.peak = float((1 << bit_depth) - 1)
+    result.frame_step = subsample
 
     if with_psnr or with_ssim:
         ref_u = np.stack([f["u"] for f in ref_planes])

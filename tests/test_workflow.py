@@ -1,0 +1,116 @@
+"""Combined decode-once workflow (app/workflow.py) vs the two-pass path.
+
+The reference AnalysisTab pipeline (app/ui/tabs/analysis_tab.py:174) aligns
+to disk then re-reads for scoring; the combined workflow must produce the
+same artifacts and (identical trims in, identical frames out) the same
+scores.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from pqa2_tpu.app.bookend_aligner import BookendAligner
+from pqa2_tpu.app.vmaf_analyzer import VMAFAnalyzer
+from pqa2_tpu.app.workflow import run_combined_workflow
+from pqa2_tpu.io.y4m import write_y4m
+
+
+def _mk_frames(ys):
+    h, w = ys[0].shape
+    return [
+        {"y": y,
+         "u": np.full((h // 2, w // 2), 128, np.uint8),
+         "v": np.full((h // 2, w // 2), 128, np.uint8)}
+        for y in ys
+    ]
+
+
+@pytest.fixture
+def bookend_pair(tmp_path, rng):
+    """(ref_path, cap_path): capture = white bookends + 2 noisy loops."""
+    n, h, w = 6, 64, 96
+    base = rng.uniform(16, 220, size=(n, h, w))
+    for _ in range(2):
+        base = (base + np.roll(base, 1, -1) + np.roll(base, -1, -1)
+                + np.roll(base, 1, -2) + np.roll(base, -1, -2)) / 5.0
+    ref_y = np.round(base).astype(np.uint8)
+    noisy = np.clip(
+        ref_y.astype(np.int16) + rng.integers(-4, 5, ref_y.shape), 0, 255
+    ).astype(np.uint8)
+    white = np.full((h, w), 235, np.uint8)
+    cap = ([white] * 5 + list(noisy) + [white] * 5 + list(noisy) + [white] * 5)
+    ref_path = str(tmp_path / "ref.y4m")
+    cap_path = str(tmp_path / "cap.y4m")
+    write_y4m(ref_path, _mk_frames(list(ref_y)))
+    write_y4m(cap_path, _mk_frames(cap))
+    return ref_path, cap_path
+
+
+def test_combined_matches_two_pass(bookend_pair, tmp_path):
+    ref_path, cap_path = bookend_pair
+    out = str(tmp_path / "combined")
+    combined = run_combined_workflow(ref_path, cap_path, out_dir=out)
+    assert combined is not None
+    align = combined["alignment"]
+    analysis = combined["analysis"]
+    assert align["confidence"] > 0.5
+    # Artifact contract: aligned trims exist and are readable.
+    assert os.path.exists(align["aligned_reference"])
+    assert os.path.exists(align["aligned_captured"])
+    assert analysis["frame_count"] == align["ref_range"][1] - align["ref_range"][0]
+
+    # Two-pass: align to disk, re-read, score — must agree bit-for-bit on
+    # the trim ranges and to fp tolerance on the score.
+    aligner = BookendAligner()
+    res = aligner.align_bookend_videos(ref_path, cap_path)
+    assert res is not None
+    assert res["ref_range"] == align["ref_range"]
+    assert res["cap_range"] == align["cap_range"]
+    analyzer = VMAFAnalyzer()
+    analyzer.set_output_directory(str(tmp_path / "twopass"))
+    two = analyzer.analyze_videos(res["aligned_reference"],
+                                  res["aligned_captured"])
+    assert two is not None
+    assert analysis["vmaf_score"] == pytest.approx(two["vmaf_score"], abs=2e-3)
+    assert analysis["psnr_score"] == pytest.approx(two["psnr_score"], abs=1e-3)
+    assert analysis["ssim_score"] == pytest.approx(two["ssim_score"], abs=1e-4)
+    # Same artifact schema as the analyzer path.
+    assert os.path.exists(analysis["json_path"])
+    assert os.path.exists(analysis["psnr_log"])
+    assert os.path.exists(analysis["ssim_log"])
+
+
+def test_combined_no_artifacts(bookend_pair, tmp_path):
+    ref_path, cap_path = bookend_pair
+    combined = run_combined_workflow(
+        ref_path, cap_path, out_dir=str(tmp_path / "o"), write_aligned=False
+    )
+    assert combined is not None
+    assert combined["alignment"]["aligned_reference"] is None
+    assert combined["analysis"]["vmaf_score"] > 0
+
+
+def test_combined_missing_file(tmp_path):
+    errors = []
+    aligner = BookendAligner()
+    aligner.error_occurred.connect(errors.append)
+    out = run_combined_workflow(
+        str(tmp_path / "nope.y4m"), str(tmp_path / "nope2.y4m"),
+        aligner=aligner,
+    )
+    assert out is None
+    assert errors and "not found" in errors[0]
+
+
+def test_combined_subsample(bookend_pair, tmp_path):
+    ref_path, cap_path = bookend_pair
+    analyzer = VMAFAnalyzer()
+    analyzer.feature_subsample = 2
+    analyzer.set_output_directory(str(tmp_path / "sub"))
+    combined = run_combined_workflow(ref_path, cap_path, analyzer=analyzer)
+    assert combined is not None
+    n_window = (combined["alignment"]["ref_range"][1]
+                - combined["alignment"]["ref_range"][0])
+    assert combined["analysis"]["frame_count"] == -(-n_window // 2)
