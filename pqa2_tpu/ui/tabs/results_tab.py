@@ -21,6 +21,7 @@ from pqa2_tpu.app.report_generator import (
     interpret_vmaf,
 )
 from pqa2_tpu.app.results_store import ResultsStore, write_compact_metadata
+from pqa2_tpu.ui.controllers import HistoryController
 from pqa2_tpu.ui.qt_bridge import bridge
 
 
@@ -33,6 +34,7 @@ class ResultsTab(QWidget):
         self._bridges = []
         base = parent.file_manager.get_default_base_dir() if parent.file_manager else "results"
         self.store = ResultsStore(base)
+        self.history = HistoryController(self.store)
         self._setup_ui()
 
     def _setup_ui(self):
@@ -65,11 +67,13 @@ class ResultsTab(QWidget):
         hist_btns = QHBoxLayout()
         reload_btn = QPushButton("Reload history")
         reload_btn.clicked.connect(self.load_results_history)
+        view_btn = QPushButton("View selected")
+        view_btn.clicked.connect(self.view_selected)
         delete_btn = QPushButton("Delete selected")
         delete_btn.clicked.connect(self.delete_selected)
         combined_btn = QPushButton("Export combined CSV")
         combined_btn.clicked.connect(self.export_combined_csv)
-        for b in (reload_btn, delete_btn, combined_btn):
+        for b in (reload_btn, view_btn, delete_btn, combined_btn):
             hist_btns.addWidget(b)
         hist_layout.addLayout(hist_btns)
         layout.addWidget(hist_box, 1)
@@ -140,19 +144,29 @@ class ResultsTab(QWidget):
 
     def load_results_history(self):
         self.history_list.clear()
-        for rec in self.store.list_tests():
-            v = rec.get("vmaf_score")
-            label = (
-                f"{rec.get('test_name')}  VMAF "
-                f"{v:.2f}" if isinstance(v, (int, float)) else str(rec.get("test_name"))
-            )
-            item = QListWidgetItem(label)
+        for rec in self.history.refresh():
+            item = QListWidgetItem(rec["label"])
             item.setData(32, rec["test_dir"])  # Qt.UserRole
             self.history_list.addItem(item)
 
+    def view_selected(self):
+        """Re-display a historical result (results_tab.py:3255-3310)."""
+        items = self.history_list.selectedItems()
+        if not items:
+            return
+        results, msg = self.history.view(items[0].data(32))
+        if results is None:
+            self.parent.statusBar().showMessage(msg)
+            return
+        self.display_results(results)
+
     def delete_selected(self):
-        for item in self.history_list.selectedItems():
-            self.store.delete(item.data(32))
+        dirs = [item.data(32) for item in self.history_list.selectedItems()]
+        n, failures = self.history.delete(dirs)
+        if failures:
+            self.parent.statusBar().showMessage("; ".join(failures))
+        elif n:
+            self.parent.statusBar().showMessage(f"Deleted {n} result(s)")
         self.load_results_history()
 
     def export_combined_csv(self):
