@@ -222,6 +222,24 @@ def parity_check(log, n=8, h=1080, w=1920):
     return out
 
 
+def measure_h2d_mbps(mb: int = 16) -> float:
+    """Effective host->device bandwidth including a forced sync (a scalar
+    reduce round-trip) — the number that bounds the end-to-end workflow on
+    a tunneled chip. Context field, not a score."""
+    import jax
+    import jax.numpy as jnp
+
+    x = np.random.default_rng(0).integers(
+        0, 255, (mb * 1024 * 1024,), dtype=np.uint8)
+    g = jax.jit(lambda v: jnp.float32(v.sum()))
+    float(g(jax.device_put(x)))  # compile + settle
+    x = x + 1
+    t0 = time.perf_counter()
+    float(g(jax.device_put(x)))
+    dt = time.perf_counter() - t0
+    return round(x.nbytes / dt / 1e6, 1)
+
+
 def impair_clip(frames, scale=1.0, blur_sigma=0.0, jpeg_q=100):
     """Coding-style impairment chain: downscale-upscale, Gaussian blur,
     JPEG re-quantisation — the degradations a real bitrate ladder shows."""
@@ -336,19 +354,29 @@ def bench_full(log):
     t0 = time.perf_counter()
     first = run_combined_workflow(ref_path, cap_path, out_dir=tmp)
     wall = time.perf_counter() - t0
-    # Steady-state: a second capture through the already-traced programs —
-    # what a capture-QA session (or service) sees for every run after the
-    # first. The first run pays one-time per-process jit tracing +
-    # compile-cache lookups.
-    t0 = time.perf_counter()
-    second = run_combined_workflow(ref_path, cap_path, out_dir=tmp)
-    wall2 = time.perf_counter() - t0
+    # Steady-state: repeat runs through the already-traced programs — what
+    # a capture-QA session (or service) sees after the first run. Three
+    # repeats because tunnel health swings 5x between minutes; best and
+    # median are both recorded. The workflow's floor on a tunneled host is
+    # the ~62 MB of H2D it must do (ref+capture luma once each + window
+    # chroma — see h2d_mbps alongside); production PCIe pays ~10 ms for it.
+    walls = []
+    second = first
+    for _ in range(3):
+        t0 = time.perf_counter()
+        second = run_combined_workflow(ref_path, cap_path, out_dir=tmp)
+        walls.append(time.perf_counter() - t0)
+    walls.sort()
     scored, scored2 = first["analysis"], second["analysis"]
+    fc = scored2["frame_count"]
     results["bookend_workflow"] = {
-        "frames": scored["frame_count"],
+        "frames": fc,
         "first_run_seconds": round(wall, 2),
-        "steady_seconds": round(wall2, 2),
-        "steady_fps": round(scored2["frame_count"] / wall2, 2),
+        "steady_seconds_best": round(walls[0], 2),
+        "steady_seconds_median": round(walls[1], 2),
+        "steady_fps": round(fc / walls[1], 2),
+        "steady_fps_best": round(fc / walls[0], 2),
+        "h2d_mbps": measure_h2d_mbps(),
         "vmaf": round(scored["vmaf_score"], 3),
         "confidence": first["alignment"]["confidence"],
     }

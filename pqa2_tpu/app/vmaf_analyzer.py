@@ -250,6 +250,8 @@ class VMAFAnalyzer:
         reference_name: str = "reference",
         distorted_name: str = "distorted",
         bit_depth: int = 8,
+        ref_y=None,
+        dist_y=None,
     ) -> Optional[Dict]:
         """Score already-decoded planar frames (VideoReader output dicts).
 
@@ -264,6 +266,7 @@ class VMAFAnalyzer:
                 return self._analyze_frames(
                     ref_planes, dist_planes, fps, model or self.model,
                     reference_name, distorted_name, bit_depth,
+                    ref_y, dist_y,
                 )
             except Exception as e:
                 logger.exception("analysis failed")
@@ -273,7 +276,8 @@ class VMAFAnalyzer:
                 return None
 
     def _analyze_frames(self, ref_planes, dist_planes, fps, model,
-                        reference_name, distorted_name, bit_depth):
+                        reference_name, distorted_name, bit_depth,
+                        ref_y=None, dist_y=None):
         from pqa2_tpu.pipeline.scoring import score_planes
         from pqa2_tpu.utils.profiling import ThroughputMeter
 
@@ -300,6 +304,8 @@ class VMAFAnalyzer:
             frame_cb=on_chunk, bit_depth=bit_depth,
             subsample=self.feature_subsample,
             precision=self.feature_precision,
+            ref_y=ref_y[:n] if ref_y is not None else None,
+            dist_y=dist_y[:n] if dist_y is not None else None,
         )
         self.analysis_progress.emit(80)
         h, w = ref_planes[0]["y"].shape

@@ -105,8 +105,17 @@ def run_combined_workflow(
             div = float(1 << (depth - 8))
             ref_luma = ref_luma.astype(np.float32) / div
             cap_luma = cap_luma.astype(np.float32) / div
+        # Each luma batch crosses the host->device link exactly ONCE per
+        # workflow: alignment statistics read these device arrays, and
+        # scoring later slices its aligned windows from the same buffers
+        # (pipeline/scoring.py ref_y/dist_y). On tunneled or PCIe-starved
+        # hosts the transfer is the workflow's floor, so never pay it twice.
+        import jax
+
+        ref_dev = jax.device_put(ref_luma)
+        cap_dev = jax.device_put(cap_luma)
         result = align_bookend_clips(
-            ref_luma, cap_luma,
+            ref_dev, cap_dev,
             fps=cap_info.frame_rate or 30.0,
             config=aligner._config(),
         )
@@ -117,14 +126,19 @@ def run_combined_workflow(
         ref_window = ref_frames[r0:r1]
         cap_window = cap_frames[c0:c1]
 
+        # Device-resident luma windows for scoring (no second upload);
+        # invalidated below if motion compensation rewrites the frames.
+        score_ref_y = ref_dev[r0:r1]
+        score_dist_y = cap_dev[c0:c1]
+
         motion_compensated = False
         if aligner._motion_compensation_enabled():
             from pqa2_tpu.align.motioncomp import compensate, estimate_shifts
 
             aligner.status_update.emit("Applying motion compensation...")
             shifts = estimate_shifts(
-                ref_luma[r0:r1].astype(np.float32),
-                cap_luma[c0:c1].astype(np.float32),
+                np.asarray(ref_luma[r0:r1], dtype=np.float32),
+                np.asarray(cap_luma[c0:c1], dtype=np.float32),
             )
             if np.any(shifts != 0):
                 cap_window = [
@@ -135,6 +149,7 @@ def run_combined_workflow(
                     }
                     for f, s in zip(cap_window, shifts)
                 ]
+                score_dist_y = None  # frames rewritten on host
             motion_compensated = True
 
         # Aligned .y4m artifacts (the contract the reference fulfils with
@@ -199,6 +214,8 @@ def run_combined_workflow(
         reference_name=aligned_ref,
         distorted_name=aligned_cap,
         bit_depth=depth,
+        ref_y=score_ref_y,
+        dist_y=score_dist_y,
     )
     if writer is not None:
         writer.join()

@@ -1,0 +1,425 @@
+"""Fused integer fixed-point VIF Pallas kernel (+ fused integer motion).
+
+The throughput variant of the integer feature path. ops/vif_int.py (the
+bit-exact XLA twin of golden/vif_int.py) materialises every filtered moment
+in HBM between passes; here — as in the f32 cascade ops/pallas_vif.py —
+each scale's moments, statistic and the next scale's decimated inputs are
+produced from one VMEM-resident tile read, all in exact uint32 split
+arithmetic (same Q-schedule: Q16 taps, vertical mu >> (8+q), Q24 horizontal
+mu, ``(a*b + 2^31) >> 32`` mean products, int32 Q16-pixel^2 sigma planes).
+
+Numerics vs the XLA twin: every integer stage is bit-identical per pixel.
+The only deviations are float reassociation in the final reductions —
+per-tile f32 partial sums of the (f32) num/den statistic instead of one
+whole-frame reduce, and the motion SAD accumulated as exact per-tile
+integer partials recombined in f32 (~6e-8 relative, the same recombination
+error ops/motion_int.py documents). Pinned against the XLA twin in
+tests/test_pallas_int.py.
+
+Layout/grid structure matches ops/pallas_vif.py (host reflect-pad, row
+tiles + 128-lane row-filter halo, (8, 128) accumulator block revisited per
+frame, MXU one-hot decimation — exact here because Q8 values < 2^24
+round-trip f32 losslessly).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from pqa2_tpu.golden.fixedpoint import (
+    MOTION_FILTER_Q16,
+    SIGMA_NSQ_Q16,
+    VIF_FILTERS_Q16,
+)
+
+DEFAULT_TILE_H = 64
+TILE_W = 512
+
+_MASK16 = np.uint32(0xFFFF)
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _mul_shift32(a, b):
+    """Exact (a*b + 2^31) >> 32 for uint32 a, b (ops/vif_int.py:82)."""
+    ah, al = a >> 16, a & _MASK16
+    bh, bl = b >> 16, b & _MASK16
+    m1 = ah * bl
+    m2 = al * bh
+    mid = m1 + m2
+    c_mid = (mid < m1).astype(jnp.uint32)
+    low = al * bl
+    t1 = (mid & _MASK16) << 16
+    s1 = t1 + low
+    c1 = (s1 < t1).astype(jnp.uint32)
+    s2 = s1 + jnp.uint32(0x80000000)
+    c2 = (s2 < s1).astype(jnp.uint32)
+    return ah * bh + (c_mid << 16) + (mid >> 16) + c1 + c2
+
+
+def _statistic_int(s1i, s2i, s12i, gain_limit):
+    """int32 Q16 sigma planes -> per-pixel (num, den) f32 maps
+    (ops/vif_int.py:_statistic, element stage only)."""
+    s1 = jnp.maximum(s1i, 0).astype(jnp.float32) / 65536.0
+    s2 = jnp.maximum(s2i, 0).astype(jnp.float32) / 65536.0
+    s12 = s12i.astype(jnp.float32) / 65536.0
+    log_branch = s1i >= np.int32(SIGMA_NSQ_Q16)
+    g = jnp.where(s12 > 0.0, s12 / jnp.maximum(s1, 1e-10), 0.0)
+    if math.isfinite(gain_limit):  # inf literals can break Mosaic
+        g = jnp.minimum(g, gain_limit)
+    sv_sq = jnp.maximum(s2 - g * s12, 0.0)
+    num_log = jnp.log2(1.0 + g * g * s1 / (sv_sq + 2.0))
+    den_log = jnp.log2(1.0 + s1 / 2.0)
+    num = jnp.where(log_branch, num_log, 1.0 - s2 * (4.0 / (255.0 * 255.0)))
+    den = jnp.where(log_branch, den_log, 1.0)
+    return num, den
+
+
+def _make_int_kernel(taps: np.ndarray, tile_h: int, tile_w: int,
+                     h: int, w: int, gain_limit: float, in_q: int,
+                     next_taps=None, with_motion=False):
+    k = len(taps)
+    half = k // 2
+    rows = tile_h + 2 * half
+    rows8 = _round_up(rows, 8)
+    twp = tile_w + 128
+    taps_u = [int(t) for t in taps]
+    u32 = jnp.uint32
+
+    def kernel(ref_hbm, dist_hbm, acc_ref, *rest):
+        if next_taps is not None:
+            ref_next, dist_next, vmem, sem = rest
+        else:
+            vmem, sem = rest
+        n = pl.program_id(0)
+        t = pl.program_id(1)
+        j = pl.program_id(2)
+
+        ref_tile = vmem.at[0, pl.ds(0, rows8), :]
+        dist_tile = vmem.at[1, pl.ds(0, rows8), :]
+        cp1 = pltpu.make_async_copy(
+            ref_hbm.at[n, pl.ds(t * tile_h, rows8), pl.ds(j * tile_w, twp)],
+            ref_tile, sem.at[0],
+        )
+        cp2 = pltpu.make_async_copy(
+            dist_hbm.at[n, pl.ds(t * tile_h, rows8), pl.ds(j * tile_w, twp)],
+            dist_tile, sem.at[1],
+        )
+        cp1.start()
+        cp2.start()
+        if with_motion:
+            prev_tile = vmem.at[2, pl.ds(0, rows8), :]
+            cp3 = pltpu.make_async_copy(
+                ref_hbm.at[jnp.maximum(n - 1, 0), pl.ds(t * tile_h, rows8),
+                           pl.ds(j * tile_w, twp)],
+                prev_tile, sem.at[2],
+            )
+            cp3.start()
+            cp3.wait()
+        cp1.wait()
+        cp2.wait()
+
+        r = vmem[0, :rows, :]
+        d = vmem[1, :rows, :]
+
+        # -- exact uint32 separable convs (ops/vif_int.py Q-schedule) -----
+        def col_direct(x, taps_l, shift, off=0):
+            acc = None
+            for i, c in enumerate(taps_l):
+                term = u32(c) * x[off + i : off + i + tile_h, :]
+                acc = term if acc is None else acc + term
+            if shift:
+                acc = (acc + u32(1 << (shift - 1))) >> shift
+            return acc
+
+        def row_direct(x, taps_l, shift, off=0):
+            acc = None
+            for i, c in enumerate(taps_l):
+                s_ = off + i
+                xs = x if s_ == 0 else pltpu.roll(x, twp - s_, axis=1)
+                term = u32(c) * xs
+                acc = term if acc is None else acc + term
+            if shift:
+                acc = (acc + u32(1 << (shift - 1))) >> shift
+            return acc
+
+        def col_split16(x, taps_l):
+            hi = lo = None
+            for i, c in enumerate(taps_l):
+                s = x[i : i + tile_h, :]
+                thi = u32(c) * (s >> 16)
+                tlo = u32(c) * (s & _MASK16)
+                hi = thi if hi is None else hi + thi
+                lo = tlo if lo is None else lo + tlo
+            return hi + ((lo + u32(1 << 15)) >> 16)
+
+        def row_split16(x, taps_l):
+            hi = lo = None
+            for i, c in enumerate(taps_l):
+                xs = x if i == 0 else pltpu.roll(x, twp - i, axis=1)
+                thi = u32(c) * (xs >> 16)
+                tlo = u32(c) * (xs & _MASK16)
+                hi = thi if hi is None else hi + thi
+                lo = tlo if lo is None else lo + tlo
+            return hi + ((lo + u32(1 << 15)) >> 16)
+
+        v_mu_shift = 8 + in_q
+        mu1 = row_direct(col_direct(r, taps_u, v_mu_shift), taps_u, 0)
+        mu2 = row_direct(col_direct(d, taps_u, v_mu_shift), taps_u, 0)
+
+        def prod_plane(a, b):
+            p = a * b  # exact in u32: operands < 2^16
+            if in_q == 0:
+                return row_direct(col_direct(p, taps_u, 16), taps_u, 0)
+            return row_split16(col_split16(p, taps_u), taps_u)
+
+        xx = prod_plane(r, r)
+        yy = prod_plane(d, d)
+        xy = prod_plane(r, d)
+
+        s1 = (xx - _mul_shift32(mu1, mu1)).astype(jnp.int32)
+        s2 = (yy - _mul_shift32(mu2, mu2)).astype(jnp.int32)
+        s12 = (xy - _mul_shift32(mu1, mu2)).astype(jnp.int32)
+
+        if next_taps is not None:
+            # Next scale's inputs: blur with the NEXT scale's Q16 taps and
+            # 2x-decimate — ops/vif_int.py:_decimate2 (rows -> Q8, cols
+            # Q24 -> Q8). Q8 outputs < 2^16 round-trip f32 exactly, so the
+            # MXU one-hot decimation (pallas_vif.py trick) stays bit-exact.
+            k_n = len(next_taps)
+            half_n = k_n // 2
+            off = half - half_n
+            taps_n = [int(c) for c in next_taps]
+
+            blur = row_direct(
+                col_direct(r, taps_n, 8 + in_q, off=off), taps_n, 16, off=off
+            )
+            blur_d = row_direct(
+                col_direct(d, taps_n, 8 + in_q, off=off), taps_n, 16, off=off
+            )
+
+            th2, tw2 = tile_h // 2, tile_w // 2
+            sel_r = jax.lax.broadcasted_iota(jnp.int32, (twp, tw2), 0)
+            sel_c = jax.lax.broadcasted_iota(jnp.int32, (twp, tw2), 1)
+            colsel = (sel_r == 2 * sel_c).astype(jnp.float32)
+            row_r = jax.lax.broadcasted_iota(jnp.int32, (th2, tile_h), 0)
+            row_c = jax.lax.broadcasted_iota(jnp.int32, (th2, tile_h), 1)
+            rowsel = (row_c == 2 * row_r).astype(jnp.float32)
+
+            def decimate_u32(x):
+                # Mosaic has no u32<->f32 convert; Q8 values < 2^16 are
+                # identical through i32, which converts fine both ways.
+                xf = x.astype(jnp.int32).astype(jnp.float32)
+                xf = jax.lax.dot(rowsel, xf,
+                                 precision=jax.lax.Precision.HIGHEST)
+                xf = jax.lax.dot(xf, colsel,
+                                 precision=jax.lax.Precision.HIGHEST)
+                return xf.astype(jnp.int32).astype(jnp.uint32)
+
+            ref_next[0] = decimate_u32(blur)
+            dist_next[0] = decimate_u32(blur_d)
+
+        num, den = _statistic_int(s1, s2, s12, gain_limit)
+        col_id = jax.lax.broadcasted_iota(jnp.int32, num.shape, 1)
+        row_id = jax.lax.broadcasted_iota(jnp.int32, num.shape, 0)
+        valid = (
+            (col_id < tile_w)
+            & (col_id + j * tile_w < w)
+            & (row_id + t * tile_h < h)
+        )
+        num_s = jnp.sum(jnp.where(valid, num, 0.0))
+        den_s = jnp.sum(jnp.where(valid, den, 0.0))
+
+        sad_hi = sad_lo = None
+        if with_motion:
+            # Integer motion blur (Q16 5-tap -> Q8, ops/motion_int.py) on
+            # ref[n] and ref[n-1]; exact per-tile integer SAD partials in a
+            # hi/lo byte split (whole-tile sums stay far inside u32).
+            k_m = len(MOTION_FILTER_Q16)
+            half_m = k_m // 2
+            off_m = half - half_m
+            taps_m = [int(c) for c in MOTION_FILTER_Q16]
+
+            def blur_m(x):
+                tmp = col_direct(x, taps_m, 8 + in_q, off=off_m)
+                return row_direct(tmp, taps_m, 16, off=off_m)
+
+            ba = blur_m(r)
+            bb = blur_m(vmem[2, :rows, :])
+            diff = jnp.where(ba >= bb, ba - bb, bb - ba)
+            diff = jnp.where(valid, diff, u32(0))
+            # u32 -> i32 -> f32 (Mosaic lacks the direct u32 cast; both
+            # byte-split halves are < 2^16 so i32 is lossless).
+            sad_hi = jnp.sum((diff >> 8).astype(jnp.int32).astype(jnp.float32))
+            sad_lo = jnp.sum(
+                (diff & u32(0xFF)).astype(jnp.int32).astype(jnp.float32))
+
+        row_id = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+        col_id = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+        blk = jnp.where(
+            (row_id == 0) & (col_id == 0), num_s,
+            jnp.where((row_id == 0) & (col_id == 1), den_s, 0.0),
+        )
+        if sad_hi is not None:
+            blk = jnp.where((row_id == 0) & (col_id == 2), sad_hi, blk)
+            blk = jnp.where((row_id == 0) & (col_id == 3), sad_lo, blk)
+
+        first = (t == 0) & (j == 0)
+
+        @pl.when(first)
+        def _():
+            acc_ref[0] = blk
+
+        @pl.when(jnp.logical_not(first))
+        def _():
+            acc_ref[0] = acc_ref[0] + blk
+
+    return kernel, rows
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scale", "gain_limit", "in_q", "tile_h", "interpret",
+                     "emit_next", "with_motion"),
+)
+def vif_int_scale_pallas(
+    ref: jnp.ndarray,
+    dist: jnp.ndarray,
+    scale: int,
+    gain_limit: float = float("inf"),
+    in_q: int = 0,
+    tile_h: int = DEFAULT_TILE_H,
+    interpret: bool = False,
+    emit_next: bool = False,
+    with_motion: bool = False,
+):
+    """uint32 (N, H, W) pair (Q{in_q} pixels) at this scale's resolution ->
+    (num, den[, sad][, ref', dist'])."""
+    taps = VIF_FILTERS_Q16[scale]
+    n, h, w = ref.shape
+    min_th = 16 if emit_next else 8
+    tile_h = max(min(tile_h, _round_up(h, min_th)) // min_th * min_th, min_th)
+    num_tiles = -(-h // tile_h)
+    half = len(taps) // 2
+    wmult = 256 if emit_next else 128
+    tile_w = min(TILE_W, _round_up(w, wmult))
+    num_w_tiles = -(-w // tile_w)
+    wpad = num_w_tiles * tile_w + 128
+
+    rows8 = _round_up(tile_h + 2 * half, 8)
+    extra_rows = (num_tiles - 1) * tile_h + rows8 - (h + 2 * half)
+
+    def pad(x):
+        x = x.astype(jnp.uint32)
+        x = jnp.pad(x, ((0, 0), (half, half), (half, half)), mode="reflect")
+        return jnp.pad(
+            x,
+            ((0, 0), (0, max(extra_rows, 0)), (0, wpad - (w + 2 * half))),
+        )
+
+    ref_p = pad(ref)
+    dist_p = pad(dist)
+
+    next_taps = VIF_FILTERS_Q16[scale + 1] if emit_next else None
+    kernel, rows = _make_int_kernel(
+        taps, tile_h, tile_w, h, w, gain_limit, in_q,
+        next_taps=next_taps, with_motion=with_motion,
+    )
+    out_specs = [
+        pl.BlockSpec((1, 8, 128), lambda i, j, k2: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [jax.ShapeDtypeStruct((n, 8, 128), jnp.float32)]
+    if emit_next:
+        h2, w2 = (h + 1) // 2, (w + 1) // 2
+        th2, tw2 = tile_h // 2, tile_w // 2
+        out_specs += [
+            pl.BlockSpec((1, th2, tw2), lambda i, j, k2: (i, j, k2),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, th2, tw2), lambda i, j, k2: (i, j, k2),
+                         memory_space=pltpu.VMEM),
+        ]
+        out_shape += [jax.ShapeDtypeStruct((n, h2, w2), jnp.uint32)] * 2
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(n, num_tiles, num_w_tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((3 if with_motion else 2, _round_up(rows, 8),
+                        tile_w + 128), jnp.uint32),
+            pltpu.SemaphoreType.DMA((3 if with_motion else 2,)),
+        ],
+        interpret=interpret,
+    )(ref_p, dist_p)
+
+    acc = out[0]
+    res = [acc[:, 0, 0], acc[:, 0, 1]]
+    if with_motion:
+        # Recombine the hi/lo byte-split partials (ops/motion_int.py
+        # semantics: mean |diff| in pixel units of the Q8 planes).
+        total = acc[:, 0, 2] * 256.0 + acc[:, 0, 3]
+        res.append(total / (float(h * w) * 256.0))
+    if emit_next:
+        res.extend([out[1], out[2]])
+    return tuple(res)
+
+
+def vif_features_int_pallas(
+    ref: jnp.ndarray,
+    dist: jnp.ndarray,
+    gain_limit: float = float("inf"),
+    interpret: bool = False,
+    with_motion: bool = False,
+    bit_depth: int = 8,
+):
+    """(N, H, W) luma pair -> (N, 4) integer-path VIF via the fused cascade.
+
+    Drop-in equivalent of ops.vif_int.vif_features_int_batched (each scale's
+    kernel emits the next scale's Q8 decimated inputs from VMEM). With
+    ``with_motion`` the scale-0 kernel also accumulates the integer motion
+    SAD of the reference luma and the return becomes ((N, 4), (N,) sad)
+    — sad[i] = mean |blur(ref[i]) - blur(ref[i-1])|, sad[0] = 0.
+    """
+    if not interpret and jax.default_backend() != "tpu":
+        interpret = True
+
+    from pqa2_tpu.ops.vif_int import to_u8_grid
+
+    ref = to_u8_grid(ref, bit_depth)
+    dist = to_u8_grid(dist, bit_depth)
+    feats = []
+    sad = None
+    in_q = 0
+    for scale in range(4):
+        out = vif_int_scale_pallas(
+            ref, dist, scale, gain_limit=gain_limit, in_q=in_q,
+            interpret=interpret, emit_next=scale < 3,
+            with_motion=with_motion and scale == 0,
+        )
+        num, den = out[0], out[1]
+        rest = list(out[2:])
+        if with_motion and scale == 0:
+            sad = rest.pop(0)
+        if scale < 3:
+            ref, dist = rest
+            in_q = 8
+        feats.append(jnp.where(den > 0, num / den, 1.0))
+    vif = jnp.stack(feats, axis=-1)
+    if with_motion:
+        return vif, sad
+    return vif

@@ -81,13 +81,32 @@ def extract_features_batched(
     if precision == "integer":
         core = slice(1 if has_prev else 0, -1 if has_next else None)
         from pqa2_tpu.ops.adm_int import adm_features_int_batched
-        from pqa2_tpu.ops.motion_int import motion_features_int
-        from pqa2_tpu.ops.vif_int import vif_features_int_batched
 
-        motion, motion2 = motion_features_int(
-            ref, has_prev=has_prev, has_next=has_next
-        )
-        vif = vif_features_int_batched(ref[core], dist[core], gain_limit=vif_gain)
+        int_backend = backend if backend is not None else KERNEL_BACKEND
+        if int_backend == "auto":
+            int_backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+        if int_backend in ("pallas", "vif-pallas"):
+            # Fused uint32 Pallas cascade: one HBM read feeds all four VIF
+            # scales AND the integer motion SAD (ops/pallas_vif_int.py);
+            # per-pixel integer stages are bit-identical to the XLA twin.
+            from pqa2_tpu.ops.motion import features_from_sad_prev
+            from pqa2_tpu.ops.pallas_vif_int import vif_features_int_pallas
+
+            vif_all, sad = vif_features_int_pallas(
+                ref, dist, gain_limit=vif_gain, with_motion=True,
+            )
+            motion, motion2 = features_from_sad_prev(
+                sad[1:], ref.shape[0], has_prev=has_prev, has_next=has_next)
+            vif = vif_all[core]
+        else:
+            from pqa2_tpu.ops.motion_int import motion_features_int
+            from pqa2_tpu.ops.vif_int import vif_features_int_batched
+
+            motion, motion2 = motion_features_int(
+                ref, has_prev=has_prev, has_next=has_next
+            )
+            vif = vif_features_int_batched(ref[core], dist[core],
+                                           gain_limit=vif_gain)
         adm2 = adm_features_int_batched(ref[core], dist[core], gain_limit=adm_gain)
         return {
             "adm2": adm2,

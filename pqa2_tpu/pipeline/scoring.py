@@ -234,6 +234,8 @@ def score_planes(
     bit_depth: int = 8,
     subsample: int = 1,
     precision: Optional[str] = None,
+    ref_y=None,
+    dist_y=None,
 ) -> ClipScores:
     """Full scoring from planar YUV frame lists (io.VideoReader output):
     VMAF on luma + optional PSNR/SSIM over all three planes.
@@ -244,19 +246,31 @@ def score_planes(
     pipeline.streaming.stream_score, which reads them from the container.
     subsample=k keeps every k-th frame (stream_score semantics: skipped
     frames cost nothing, all metrics run on the sampled frames).
+
+    ``ref_y``/``dist_y``: optionally the (N, H, W) luma batches ALREADY on
+    the 8-bit scale — numpy or device arrays. The combined workflow passes
+    device-resident slices of the luma it uploaded for alignment, so the
+    biggest tensor is never transferred twice (app/workflow.py).
     """
     subsample = max(1, int(subsample or 1))
     if subsample > 1:
         ref_planes = ref_planes[::subsample]
         dist_planes = dist_planes[::subsample]
+        if ref_y is not None:
+            ref_y = ref_y[::subsample]
+        if dist_y is not None:
+            dist_y = dist_y[::subsample]
     div = float(1 << (bit_depth - 8))
     # Keep the source dtype: device transfers of uint8 are 4x smaller than
     # f32 and every op casts on device.
-    ref_y = np.stack([f["y"] for f in ref_planes])
-    dist_y = np.stack([f["y"] for f in dist_planes])
-    if div != 1.0:
-        ref_y = ref_y.astype(np.float32) / div
-        dist_y = dist_y.astype(np.float32) / div
+    if ref_y is None:
+        ref_y = np.stack([f["y"] for f in ref_planes])
+        if div != 1.0:
+            ref_y = ref_y.astype(np.float32) / div
+    if dist_y is None:
+        dist_y = np.stack([f["y"] for f in dist_planes])
+        if div != 1.0:
+            dist_y = dist_y.astype(np.float32) / div
     result = score_clip(ref_y, dist_y, model=model, chunk_size=chunk_size,
                         frame_cb=frame_cb, precision=precision)
     result.peak = float((1 << bit_depth) - 1)

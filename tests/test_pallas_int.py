@@ -1,0 +1,82 @@
+"""Fused integer Pallas VIF cascade vs the bit-exact XLA twin.
+
+ops/pallas_vif_int.py re-runs the exact uint32 Q-schedule of
+ops/vif_int.py inside one VMEM-resident kernel per scale; the only allowed
+deviations are f32 reduction reassociation (per-tile partial sums) and the
+documented motion hi/lo recombination. These tests pin the Pallas cascade
+(interpret mode on the CPU mesh; the real-chip delta is asserted by
+bench.py's parity check) against the XLA twin.
+"""
+
+import numpy as np
+import pytest
+
+jnp = pytest.importorskip("jax.numpy")
+
+from pqa2_tpu.ops.motion_int import blur_int_batched, sad_pairs_int
+from pqa2_tpu.ops.pallas_vif_int import vif_features_int_pallas
+from pqa2_tpu.ops.vif_int import vif_features_int_batched
+
+TOL = 2e-6  # f32 reassociation on the num/den sums only
+
+
+def _pair(rng, n, h, w, spread=40):
+    ref = rng.integers(0, 256, (n, h, w)).astype(np.float32)
+    dist = np.clip(
+        ref + rng.integers(-spread, spread + 1, (n, h, w)), 0, 255
+    ).astype(np.float32)
+    return jnp.asarray(ref), jnp.asarray(dist)
+
+
+@pytest.mark.parametrize("shape", [(2, 64, 128), (3, 72, 96), (2, 57, 100)])
+def test_vif_matches_xla_twin(rng, shape):
+    r, d = _pair(rng, *shape)
+    want = np.asarray(vif_features_int_batched(r, d))
+    got = np.asarray(vif_features_int_pallas(r, d, interpret=True))
+    np.testing.assert_allclose(got, want, atol=TOL, rtol=0)
+
+
+def test_vif_gain_limit_neg(rng):
+    """NEG clamp (vif_enhn_gain_limit=1.0) must match the twin exactly —
+    enhancement regions take the clamped branch."""
+    r, d = _pair(rng, 2, 64, 96, spread=60)
+    want = np.asarray(vif_features_int_batched(r, d, gain_limit=1.0))
+    got = np.asarray(vif_features_int_pallas(r, d, gain_limit=1.0,
+                                             interpret=True))
+    np.testing.assert_allclose(got, want, atol=TOL, rtol=0)
+
+
+def test_fused_motion_matches_twin(rng):
+    r, d = _pair(rng, 4, 64, 96)
+    _, sad = vif_features_int_pallas(r, d, with_motion=True, interpret=True)
+    blurred = blur_int_batched(r)
+    want = np.concatenate(
+        [[0.0], np.asarray(sad_pairs_int(blurred[1:], blurred[:-1]))]
+    )
+    np.testing.assert_allclose(np.asarray(sad), want, atol=1e-5, rtol=1e-6)
+
+
+def test_identity_gives_unity(rng):
+    r, _ = _pair(rng, 2, 64, 96)
+    vif = np.asarray(vif_features_int_pallas(r, r, interpret=True))
+    np.testing.assert_allclose(vif, 1.0, atol=1e-6)
+
+
+def test_extract_features_integer_pallas_backend(rng):
+    """extract_features_batched(precision='integer', backend='pallas')
+    agrees with the XLA integer path (full feature dict incl. halo
+    handling)."""
+    from pqa2_tpu.pipeline.features import extract_features_batched
+
+    r, d = _pair(rng, 5, 64, 96)
+    xla = extract_features_batched(r, d, precision="integer", backend="xla",
+                                   has_prev=True, has_next=True)
+    pal = extract_features_batched(r, d, precision="integer",
+                                   backend="pallas",
+                                   has_prev=True, has_next=True)
+    assert set(xla) == set(pal)
+    for k in xla:
+        np.testing.assert_allclose(
+            np.asarray(pal[k]), np.asarray(xla[k]), atol=5e-6, rtol=1e-6,
+            err_msg=k,
+        )
