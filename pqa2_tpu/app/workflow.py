@@ -59,6 +59,7 @@ def run_combined_workflow(
     aligner=None,
     analyzer=None,
     write_aligned: bool = True,
+    duration: Optional[float] = None,
 ) -> Optional[Dict]:
     """Decode-once bookend workflow. Returns
     ``{"alignment": <BookendAligner-shaped dict>, "analysis":
@@ -123,6 +124,12 @@ def run_combined_workflow(
 
         r0, r1 = result.ref_range
         c0, c1 = result.cap_range
+        if duration:
+            # Analysis-duration cap (the reference passes the setup tab's
+            # duration through to the analyzer, analysis_tab.py:612).
+            cap_n = int(round(duration * (cap_info.frame_rate or 30.0)))
+            r1 = min(r1, r0 + cap_n)
+            c1 = min(c1, c0 + cap_n)
         ref_window = ref_frames[r0:r1]
         cap_window = cap_frames[c0:c1]
 
@@ -192,8 +199,8 @@ def run_combined_workflow(
                 "content_duration": result.content_duration,
                 "motion_compensated": motion_compensated,
             },
-            "ref_range": list(result.ref_range),
-            "cap_range": list(result.cap_range),
+            "ref_range": [r0, r1],
+            "cap_range": [c0, c1],
             "is_fallback": result.is_fallback,
         }
         aligner.state = AlignmentState.COMPLETE
@@ -235,3 +242,45 @@ def run_combined_workflow(
         "analysis": analysis,
         "wall_seconds": round(time.perf_counter() - t_start, 3),
     }
+
+
+class CombinedWorkflowThread(threading.Thread):
+    """Thread wrapper for the decode-once workflow with both engines'
+    signal channels exposed — the engine-side replacement for the
+    reference AnalysisTab's BookendAlignmentThread -> VMAFAnalysisThread
+    chain (app/ui/tabs/analysis_tab.py:174-437)."""
+
+    def __init__(self, reference_path: str, captured_path: str, *,
+                 model: Optional[str] = None, out_dir: Optional[str] = None,
+                 test_name: Optional[str] = None, options_manager=None,
+                 duration: Optional[float] = None):
+        super().__init__(daemon=True)
+        from pqa2_tpu.app.bookend_aligner import BookendAligner
+        from pqa2_tpu.app.vmaf_analyzer import VMAFAnalyzer
+
+        self.aligner = BookendAligner(options_manager)
+        self.analyzer = VMAFAnalyzer(options_manager)
+        # Re-expose the channels at thread level, like the reference threads.
+        self.alignment_progress = self.aligner.alignment_progress
+        self.alignment_complete = self.aligner.alignment_complete
+        self.status_update = self.aligner.status_update
+        self.error_occurred = self.aligner.error_occurred
+        self.analysis_progress = self.analyzer.analysis_progress
+        self.analysis_complete = self.analyzer.analysis_complete
+        self.analysis_failed = self.analyzer.analysis_failed
+        self.analysis_status = self.analyzer.status_update
+        self._args = dict(
+            model=model, out_dir=out_dir, test_name=test_name,
+            duration=duration,
+        )
+        self._paths = (reference_path, captured_path)
+        self.result: Optional[Dict] = None
+
+    def run(self):
+        self.result = run_combined_workflow(
+            *self._paths, aligner=self.aligner, analyzer=self.analyzer,
+            **self._args,
+        )
+
+    def terminate(self):
+        self.analyzer.terminate_analysis()

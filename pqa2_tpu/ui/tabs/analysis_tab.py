@@ -1,8 +1,10 @@
 """AnalysisTab — the combined alignment -> VMAF pipeline.
 
 Rebuild of app/ui/tabs/analysis_tab.py: model dropdown from the registry
-(:1005-1077), combined workflow orchestration (:174-437), alignment-complete
--> VMAF kickoff (:349-437), metadata save (:690-817)."""
+(:1005-1077), combined workflow orchestration (:174-437) — through the
+decode-once engine workflow (app/workflow.py) instead of the reference's
+align-to-disk-then-rescore chain — alignment-complete -> VMAF progress
+handoff (:349-437), metadata save (:690-817)."""
 
 from __future__ import annotations
 
@@ -15,8 +17,7 @@ from PyQt5.QtWidgets import (
     QTextEdit, QVBoxLayout, QWidget,
 )
 
-from pqa2_tpu.app.bookend_aligner import BookendAlignmentThread
-from pqa2_tpu.app.vmaf_analyzer import VMAFAnalysisThread
+from pqa2_tpu.app.workflow import CombinedWorkflowThread
 from pqa2_tpu.models.registry import available_models
 from pqa2_tpu.ui.qt_bridge import bridge
 
@@ -79,21 +80,32 @@ class AnalysisTab(QWidget):
         self.run_btn.setEnabled(False)
         self.progress.setValue(0)
         self.log("Starting combined alignment + VMAF workflow...")
-        self.align_videos_for_combined_workflow(info["path"], self.capture_path)
-
-    def align_videos_for_combined_workflow(self, ref_path, cap_path):
-        self._align_thread = BookendAlignmentThread(
-            ref_path, cap_path, options_manager=self.parent.options_manager
+        # One thread drives the decode-once engine workflow; the alignment
+        # and analysis signal channels split the progress bar 50/50 exactly
+        # like the reference's two-stage chain.
+        self._workflow_thread = CombinedWorkflowThread(
+            info["path"], self.capture_path,
+            model=self.model_combo.currentText(),
+            out_dir=self.parent.current_test_dir(),
+            test_name=self.parent.current_test_name(),
+            options_manager=self.parent.options_manager,
+            duration=self.parent.setup_tab.selected_duration(),
         )
+        t = self._workflow_thread
         self._bridges = [
-            bridge(self._align_thread.status_update, self.log, parent=self),
-            bridge(self._align_thread.alignment_progress,
+            bridge(t.status_update, self.log, parent=self),
+            bridge(t.analysis_status, self.log, parent=self),
+            bridge(t.alignment_progress,
                    lambda p: self.progress.setValue(p // 2), parent=self),
-            bridge(self._align_thread.alignment_complete,
+            bridge(t.alignment_complete,
                    self.handle_alignment_for_combined_workflow, parent=self),
-            bridge(self._align_thread.error_occurred, self._on_error, parent=self),
+            bridge(t.analysis_progress,
+                   lambda p: self.progress.setValue(50 + p // 2), parent=self),
+            bridge(t.analysis_complete, self.handle_vmaf_complete, parent=self),
+            bridge(t.analysis_failed, self._on_error, parent=self),
+            bridge(t.error_occurred, self._on_error, parent=self),
         ]
-        self._align_thread.start()
+        t.start()
 
     def handle_alignment_for_combined_workflow(self, result: dict):
         if self._alignment_handled:
@@ -102,29 +114,6 @@ class AnalysisTab(QWidget):
         self.log(
             f"Alignment complete (confidence {result.get('confidence', 0):.2f})"
         )
-        self.start_vmaf_for_combined_workflow(
-            result["aligned_reference"], result["aligned_captured"]
-        )
-
-    def start_vmaf_for_combined_workflow(self, aligned_ref, aligned_cap):
-        model = self.model_combo.currentText()
-        self._vmaf_thread = VMAFAnalysisThread(
-            aligned_ref, aligned_cap, model=model,
-            duration=self.parent.setup_tab.selected_duration(),
-            options_manager=self.parent.options_manager,
-        )
-        out_dir = self.parent.current_test_dir()
-        self._vmaf_thread.analyzer.set_output_directory(out_dir)
-        self._vmaf_thread.analyzer.set_test_name(self.parent.current_test_name())
-        self._bridges += [
-            bridge(self._vmaf_thread.status_update, self.log, parent=self),
-            bridge(self._vmaf_thread.analysis_progress,
-                   lambda p: self.progress.setValue(50 + p // 2), parent=self),
-            bridge(self._vmaf_thread.analysis_complete,
-                   self.handle_vmaf_complete, parent=self),
-            bridge(self._vmaf_thread.analysis_failed, self._on_error, parent=self),
-        ]
-        self._vmaf_thread.start()
 
     def handle_vmaf_complete(self, results: dict):
         self.run_btn.setEnabled(True)

@@ -104,6 +104,44 @@ def test_combined_missing_file(tmp_path):
     assert errors and "not found" in errors[0]
 
 
+def test_combined_workflow_thread_signals(bookend_pair, tmp_path):
+    """CombinedWorkflowThread re-exposes both engines' channels and the
+    progress handoff mirrors the reference's two-stage chain."""
+    from pqa2_tpu.app.workflow import CombinedWorkflowThread
+
+    ref_path, cap_path = bookend_pair
+    t = CombinedWorkflowThread(ref_path, cap_path,
+                               out_dir=str(tmp_path / "wf"))
+    align_done = []
+    analysis_done = []
+    progress = []
+    t.alignment_complete.connect(align_done.append)
+    t.analysis_complete.connect(analysis_done.append)
+    t.alignment_progress.connect(progress.append)
+    t.analysis_progress.connect(progress.append)
+    t.start()
+    t.join(timeout=300)
+    assert not t.is_alive()
+    assert t.result is not None
+    assert align_done and align_done[0]["confidence"] > 0.5
+    assert analysis_done and analysis_done[0]["vmaf_score"] > 0
+    assert progress and max(progress) == 100
+
+
+def test_combined_duration_cap(bookend_pair, tmp_path):
+    """duration truncates the scored window (reference analysis_tab
+    passes the setup-tab duration to the analyzer)."""
+    ref_path, cap_path = bookend_pair
+    out = run_combined_workflow(
+        ref_path, cap_path, out_dir=str(tmp_path / "d"),
+        duration=3 / 30.0,  # 3 frames at 30 fps
+    )
+    assert out is not None
+    assert out["analysis"]["frame_count"] == 3
+    r0, r1 = out["alignment"]["ref_range"]
+    assert r1 - r0 == 3
+
+
 def test_combined_subsample(bookend_pair, tmp_path):
     ref_path, cap_path = bookend_pair
     analyzer = VMAFAnalyzer()
