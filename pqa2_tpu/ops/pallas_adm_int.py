@@ -1,0 +1,343 @@
+"""Fused integer ADM2 Pallas kernel (one Q15 DWT level per pass).
+
+Integer twin of ops/pallas_adm.py, completing the fully-fused integer
+feature path (with ops/pallas_vif_int.py): per band-row tile resident in
+VMEM — the integer db2 DWT of ref and dist on the ADM_BAND_Q rounding
+schedule (ops/adm_int.py:_dwt1d_axis_int: int32 Q15 taps, per-axis
+``(acc + 2^(s-1)) >> s`` rounding — the two 1-D passes CANNOT be fused
+into one separable sum like the f32 kernel because the schedule rounds
+between them), exact integer decoupling (k = trunc((|t|<<15)/|o|) via an
+f32 quotient estimate + exact int32 floor correction — Mosaic-safe, no
+integer division), then the f32 CSF/masking/cube tail identical to the
+f32 kernel.
+
+Per-pixel integer stages are bit-identical to the XLA twin; deviations are
+the same as the other fused kernels: f32 reassociation in the per-tile
+partial cube sums. Pinned in tests/test_pallas_int.py.
+
+Host-side polyphase split, tile/halo geometry, the 3x3 threshold's
+roll+clamp scheme and the (8, 128) accumulator block are identical to
+ops/pallas_adm.py (see its docstring for the Mosaic derivation).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from pqa2_tpu.golden.adm import BORDER_FACTOR, COS_1DEG_SQ, NUM_LEVELS, csf_rfactors
+from pqa2_tpu.golden.fixedpoint import ADM_BAND_Q, DB2_HI_Q15, DB2_LO_Q15
+
+DEFAULT_TILE_B = 32
+
+_I32 = jnp.int32
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _trim(w: int) -> int:
+    return max(int(w * BORDER_FACTOR - 0.5), 0)
+
+
+def _make_int_kernel(tile_b: int, w2: int, w2p: int, h2: int, level: int,
+                     gain_limit: float, extra_row_shift: int):
+    lo = [int(c) for c in DB2_LO_Q15]
+    hi = [int(c) for c in DB2_HI_Q15]
+    nb = tile_b + 2
+    comp_rows = nb + 1
+    comp_rows8 = _round_up(comp_rows, 8)
+    fh, fv, fd = csf_rfactors(level)
+    scale = 1.0 / (1 << ADM_BAND_Q[level])
+    factors = (fh * scale, fv * scale, fd * scale)
+    trim_h = _trim(h2)
+    trim_w = _trim(w2)
+    s_row = 15 + extra_row_shift  # vertical-pass rounding shift
+
+    def kernel(ree, reo, roe, roo, dee, deo, doe, doo,
+               acc_ref, a_ref_out, a_dist_out, vmem, sem):
+        t = pl.program_id(1)
+        n = pl.program_id(0)
+
+        comps = (ree, reo, roe, roo, dee, deo, doe, doo)
+        for idx in range(8):
+            pltpu.make_async_copy(
+                comps[idx].at[n, pl.ds(t * tile_b, comp_rows8), :],
+                vmem.at[idx, pl.ds(0, comp_rows8), :],
+                sem.at[idx],
+            ).start()
+        for idx in range(8):
+            pltpu.make_async_copy(
+                comps[idx].at[n, pl.ds(t * tile_b, comp_rows8), :],
+                vmem.at[idx, pl.ds(0, comp_rows8), :],
+                sem.at[idx],
+            ).wait()
+
+        def rshift(acc, s):
+            return (acc + _I32(1 << (s - 1))) >> s
+
+        def dwt2(base):
+            ee = vmem[base + 0, :comp_rows, :]
+            eo = vmem[base + 1, :comp_rows, :]
+            oe = vmem[base + 2, :comp_rows, :]
+            oo = vmem[base + 3, :comp_rows, :]
+
+            def col_pass(taps):
+                # Vertical (row-tap) pass with the schedule's intermediate
+                # rounding (ops/adm_int.py:_dwt1d_axis_int, axis=-2).
+                e_lo = (_I32(taps[0]) * ee[:nb]
+                        + _I32(taps[2]) * ee[1 : nb + 1])
+                o_lo = (_I32(taps[1]) * oe[:nb]
+                        + _I32(taps[3]) * oe[1 : nb + 1])
+                e_hi = (_I32(taps[0]) * eo[:nb]
+                        + _I32(taps[2]) * eo[1 : nb + 1])
+                o_hi = (_I32(taps[1]) * oo[:nb]
+                        + _I32(taps[3]) * oo[1 : nb + 1])
+                return rshift(e_lo + o_lo, s_row), rshift(e_hi + o_hi, s_row)
+
+            lo_e, lo_o = col_pass(lo)
+            hi_e, hi_o = col_pass(hi)
+
+            def row_pass(pe, po, taps):
+                pe1 = pltpu.roll(pe, w2p - 1, axis=1)
+                po1 = pltpu.roll(po, w2p - 1, axis=1)
+                acc = (_I32(taps[0]) * pe + _I32(taps[1]) * po
+                       + _I32(taps[2]) * pe1 + _I32(taps[3]) * po1)
+                return rshift(acc, 15)
+
+            return {
+                "a": row_pass(lo_e, lo_o, lo),
+                "v": row_pass(lo_e, lo_o, hi),
+                "h": row_pass(hi_e, hi_o, lo),
+                "d": row_pass(hi_e, hi_o, hi),
+            }
+
+        o = dwt2(0)
+        td = dwt2(4)
+
+        # -- integer decouple (ops/adm_int.py:decouple_int_batched) ---------
+        ohf = o["h"].astype(jnp.float32)
+        ovf = o["v"].astype(jnp.float32)
+        thf = td["h"].astype(jnp.float32)
+        tvf = td["v"].astype(jnp.float32)
+        ot_dp = ohf * thf + ovf * tvf
+        angle = (ot_dp >= 0.0) & (
+            ot_dp * ot_dp
+            >= COS_1DEG_SQ * (ohf * ohf + ovf * ovf)
+            * (thf * thf + tvf * tvf)
+        )
+
+        shape = o["h"].shape
+        row_g = (jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+                 + t * tile_b - 1)
+        col_g = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+
+        def div_q15_trunc(ta, oa):
+            """Exact trunc((ta << 15) / oa) without integer division:
+            f32 quotient estimate, exact int32 residual, f32 floor of the
+            residual quotient with +-1 fix-ups (rem, oa < 2^24 so the f32
+            divisions are correctly rounded; the fix-ups make floor exact).
+            """
+            oa_safe = jnp.maximum(oa, 1)
+            oaf = oa_safe.astype(jnp.float32)
+            q0 = jnp.clip(
+                jnp.floor(ta.astype(jnp.float32) * 32768.0 / oaf),
+                0.0, 65535.0,
+            ).astype(_I32)
+            rem = (ta << 15) - q0 * oa_safe  # wrapping int32; residual exact
+            corr = jnp.floor(rem.astype(jnp.float32) / oaf).astype(_I32)
+            rem2 = rem - corr * oa_safe
+            corr = jnp.where(rem2 < 0, corr - 1, corr)
+            rem2 = rem - corr * oa_safe
+            corr = jnp.where(rem2 >= oa_safe, corr + 1, corr)
+            return q0 + corr
+
+        bands = []
+        for ob, tb, f in ((o["h"], td["h"], factors[0]),
+                          (o["v"], td["v"], factors[1]),
+                          (o["d"], td["d"], factors[2])):
+            oa = jnp.abs(ob)
+            ta = jnp.abs(tb)
+            same_sign = (ob > 0) == (tb > 0)
+            k = jnp.where(
+                (oa > 0) & same_sign & (tb != 0),
+                jnp.minimum(div_q15_trunc(ta, oa), 32768),
+                0,
+            )
+            r = jnp.sign(ob) * ((k * oa + _I32(1 << 14)) >> 15)
+            if float(gain_limit) == 1.0:
+                gained = r
+            else:
+                gained = jnp.round(
+                    r.astype(jnp.float32) * gain_limit).astype(_I32)
+            r_flag = jnp.where(tb > 0, jnp.minimum(gained, tb),
+                               jnp.where(tb < 0, jnp.maximum(gained, tb), tb))
+            r = jnp.where(angle, r_flag, r)
+            a = tb - r
+            bands.append((ob.astype(jnp.float32) * f,
+                          r.astype(jnp.float32) * f,
+                          jnp.abs(a).astype(jnp.float32) * f))
+
+        # -- f32 tail: 3x3 contrast-masking threshold + cube sums -----------
+        abs_sum = bands[0][2] + bands[1][2] + bands[2][2]
+        n_rows = shape[0]
+
+        def shift_row(x, delta):
+            y = pltpu.roll(x, (n_rows - delta) % n_rows, axis=0)
+            if delta == 1:
+                return jnp.where(row_g >= h2 - 1, x, y)
+            return jnp.where(row_g <= 0, x, y)
+
+        def shift_col(x, delta):
+            y = pltpu.roll(x, (w2p - delta) % w2p, axis=1)
+            if delta == 1:
+                return jnp.where(col_g >= w2 - 1, x, y)
+            return jnp.where(col_g <= 0, x, y)
+
+        band3 = shift_row(abs_sum, -1) + abs_sum + shift_row(abs_sum, 1)
+        mt = (shift_col(band3, -1) + band3 + shift_col(band3, 1)
+              + abs_sum) / 30.0
+
+        core = ((row_g >= t * tile_b) & (row_g < t * tile_b + tile_b)
+                & (row_g >= trim_h) & (row_g < h2 - trim_h)
+                & (col_g >= trim_w) & (col_g < w2 - trim_w))
+
+        sums = []
+        for csf_o, csf_r, _ in bands:
+            masked = jnp.maximum(jnp.abs(csf_r) - mt, 0.0)
+            sums.append(jnp.sum(jnp.where(core, masked ** 3, 0.0)))
+            sums.append(jnp.sum(jnp.where(core, jnp.abs(csf_o) ** 3, 0.0)))
+
+        r8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+        c8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+        blk = jnp.zeros((8, 128), jnp.float32)
+        for i, s in enumerate(sums):
+            blk = blk + jnp.where((r8 == 0) & (c8 == i), s, 0.0)
+
+        @pl.when(t == 0)
+        def _():
+            acc_ref[0] = blk
+
+        @pl.when(t != 0)
+        def _():
+            acc_ref[0] = acc_ref[0] + blk
+
+        a_ref_out[0] = o["a"][1 : 1 + tile_b, :]
+        a_dist_out[0] = td["a"][1 : 1 + tile_b, :]
+
+    return kernel, comp_rows
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "level", "gain_limit", "tile_b", "interpret", "extra_row_shift"))
+def adm_int_level_pallas(
+    ref: jnp.ndarray,
+    dist: jnp.ndarray,
+    level: int,
+    gain_limit: float = 100.0,
+    tile_b: int = DEFAULT_TILE_B,
+    interpret: bool = False,
+    extra_row_shift: int = 0,
+):
+    """One integer ADM level. ref/dist: (N, H, W) int32 approx bands at
+    Q(ADM_BAND_Q[level-1] or input Q). Returns (sums, a_ref, a_dist)."""
+    n, h, w = ref.shape
+    h2, w2 = (h + 1) // 2, (w + 1) // 2
+    tile_b = min(tile_b, h2)
+    num_tiles = -(-h2 // tile_b)
+
+    w2p = _round_up(w2 + 1, 128)
+    wp = 2 * w2p
+    comp_rows8 = _round_up(tile_b + 3, 8)
+    comp_rows_total = (num_tiles - 1) * tile_b + comp_rows8
+    rows_needed = 2 * comp_rows_total
+
+    def components(x):
+        x = x.astype(_I32)
+        sym_b = min(h, max(rows_needed - 3 - h, 0))
+        sym_r = min(w, max(wp - 1 - w, 0))
+        x = jnp.pad(x, ((0, 0), (3, sym_b), (1, sym_r)), mode="symmetric")
+        zh = rows_needed - x.shape[1]
+        zw = wp - x.shape[2]
+        if zh > 0 or zw > 0:
+            x = jnp.pad(x, ((0, 0), (0, max(zh, 0)), (0, max(zw, 0))))
+        x = x[:, :rows_needed, :wp]
+        nn = x.shape[0]
+        xe = x[:, ::2].reshape(nn, rows_needed // 2, wp // 2, 2)
+        xo = x[:, 1::2].reshape(nn, rows_needed // 2, wp // 2, 2)
+        return xe[..., 0], xe[..., 1], xo[..., 0], xo[..., 1]
+
+    r_comps = components(ref)
+    d_comps = components(dist)
+
+    kernel, comp_rows = _make_int_kernel(
+        tile_b, w2, w2p, h2, level, gain_limit, extra_row_shift)
+    acc, a_ref, a_dist = pl.pallas_call(
+        kernel,
+        grid=(n, num_tiles),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 8,
+        out_specs=(
+            pl.BlockSpec((1, 8, 128), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_b, w2p), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_b, w2p), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, 8, 128), jnp.float32),
+            jax.ShapeDtypeStruct((n, num_tiles * tile_b, w2p), _I32),
+            jax.ShapeDtypeStruct((n, num_tiles * tile_b, w2p), _I32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((8, _round_up(comp_rows, 8), w2p), _I32),
+            pltpu.SemaphoreType.DMA((8,)),
+        ],
+        interpret=interpret,
+    )(*r_comps, *d_comps)
+
+    sums = acc[:, 0, :6]
+    return sums, a_ref[:, :h2, :w2], a_dist[:, :h2, :w2]
+
+
+def adm_features_int_pallas(
+    ref: jnp.ndarray,
+    dist: jnp.ndarray,
+    gain_limit: float = 100.0,
+    interpret: bool = False,
+    bit_depth: int = 8,
+) -> jnp.ndarray:
+    """(N, H, W) luma pair -> (N,) adm2 via the fused integer level kernels.
+
+    Drop-in equivalent of ops.adm_int.adm_features_int_batched."""
+    if not interpret and jax.default_backend() != "tpu":
+        interpret = True
+
+    from pqa2_tpu.ops.vif_int import to_u8_grid
+
+    h, w = ref.shape[-2], ref.shape[-1]
+    cur_r = (to_u8_grid(ref, bit_depth).astype(_I32)) << ADM_BAND_Q[0]
+    cur_d = (to_u8_grid(dist, bit_depth).astype(_I32)) << ADM_BAND_Q[0]
+    num = 0.0
+    den = 0.0
+    for lvl in range(NUM_LEVELS):
+        drop = ADM_BAND_Q[lvl - 1] - ADM_BAND_Q[lvl] if lvl else 0
+        h2, w2 = (cur_r.shape[1] + 1) // 2, (cur_r.shape[2] + 1) // 2
+        sums, cur_r, cur_d = adm_int_level_pallas(
+            cur_r, cur_d, lvl, gain_limit=gain_limit, interpret=interpret,
+            extra_row_shift=drop,
+        )
+        th, tw = _trim(h2), _trim(w2)
+        n_core = (h2 - 2 * th) * (w2 - 2 * tw)
+        stab = float(n_core / 32.0) ** (1.0 / 3.0)
+        for b in range(3):
+            num = num + jnp.cbrt(sums[:, 2 * b]) + stab
+            den = den + jnp.cbrt(sums[:, 2 * b + 1]) + stab
+    eps = 1e-10 * (w * h) / (1920.0 * 1080.0)
+    return (num + eps) / (den + eps)

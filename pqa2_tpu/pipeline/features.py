@@ -80,7 +80,6 @@ def extract_features_batched(
     """
     if precision == "integer":
         core = slice(1 if has_prev else 0, -1 if has_next else None)
-        from pqa2_tpu.ops.adm_int import adm_features_int_batched
 
         int_backend = backend if backend is not None else KERNEL_BACKEND
         if int_backend == "auto":
@@ -107,7 +106,16 @@ def extract_features_batched(
             )
             vif = vif_features_int_batched(ref[core], dist[core],
                                            gain_limit=vif_gain)
-        adm2 = adm_features_int_batched(ref[core], dist[core], gain_limit=adm_gain)
+        if int_backend == "pallas":
+            from pqa2_tpu.ops.pallas_adm_int import adm_features_int_pallas
+
+            adm2 = adm_features_int_pallas(ref[core], dist[core],
+                                           gain_limit=adm_gain)
+        else:
+            from pqa2_tpu.ops.adm_int import adm_features_int_batched
+
+            adm2 = adm_features_int_batched(ref[core], dist[core],
+                                            gain_limit=adm_gain)
         return {
             "adm2": adm2,
             "motion": motion,

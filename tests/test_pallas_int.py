@@ -62,6 +62,28 @@ def test_identity_gives_unity(rng):
     np.testing.assert_allclose(vif, 1.0, atol=1e-6)
 
 
+@pytest.mark.parametrize("shape", [(2, 64, 96), (1, 72, 100), (2, 57, 96)])
+def test_adm_matches_xla_twin(rng, shape):
+    from pqa2_tpu.ops.adm_int import adm_features_int_batched
+    from pqa2_tpu.ops.pallas_adm_int import adm_features_int_pallas
+
+    r, d = _pair(rng, *shape, spread=25)
+    want = np.asarray(adm_features_int_batched(r, d))
+    got = np.asarray(adm_features_int_pallas(r, d, interpret=True))
+    np.testing.assert_allclose(got, want, atol=5e-7, rtol=0)
+
+
+def test_adm_gain_limit_neg(rng):
+    from pqa2_tpu.ops.adm_int import adm_features_int_batched
+    from pqa2_tpu.ops.pallas_adm_int import adm_features_int_pallas
+
+    r, d = _pair(rng, 2, 64, 96, spread=60)
+    want = np.asarray(adm_features_int_batched(r, d, gain_limit=1.0))
+    got = np.asarray(adm_features_int_pallas(r, d, gain_limit=1.0,
+                                             interpret=True))
+    np.testing.assert_allclose(got, want, atol=5e-7, rtol=0)
+
+
 def test_extract_features_integer_pallas_backend(rng):
     """extract_features_batched(precision='integer', backend='pallas')
     agrees with the XLA integer path (full feature dict incl. halo
