@@ -17,8 +17,18 @@ from pqa2_tpu.ui.controllers.devicestatus import (
 )
 from pqa2_tpu.ui.controllers.history import HistoryController
 from pqa2_tpu.ui.controllers.preview import PreviewModel
+from pqa2_tpu.ui.controllers.setup import (
+    DURATION_CHOICES,
+    load_preview_rgb,
+    parse_duration,
+    reference_summary,
+)
 
 __all__ = [
+    "DURATION_CHOICES",
+    "load_preview_rgb",
+    "parse_duration",
+    "reference_summary",
     "CaptureLogModel",
     "LogEntry",
     "DeviceStatus",

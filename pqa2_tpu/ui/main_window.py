@@ -97,12 +97,11 @@ class MainWindow(QMainWindow):
         try:
             if self.capture_manager is not None:
                 self.capture_manager.stop_capture()
-            for th in (self.analysis_tab._align_thread,
-                       self.analysis_tab._vmaf_thread):
-                if th is not None and th.is_alive():
-                    if hasattr(th, "terminate"):
-                        th.terminate()
-                    th.join(timeout=3.0)
+                self.capture_manager.stop_preview()
+            th = self.analysis_tab._workflow_thread
+            if th is not None and th.is_alive():
+                th.terminate()  # cooperative analyzer abort
+                th.join(timeout=3.0)
             if self.file_manager is not None:
                 self.file_manager.cleanup_temp_files()
         except Exception:

@@ -26,8 +26,7 @@ class AnalysisTab(QWidget):
     def __init__(self, parent):
         super().__init__()
         self.parent = parent
-        self._align_thread = None
-        self._vmaf_thread = None
+        self._workflow_thread = None
         self._bridges = []
         self._alignment_handled = False  # duplicate-signal guard (:355-376)
         self.capture_path = None

@@ -1,19 +1,25 @@
 """SetupTab — test metadata + reference selection/analysis.
 
 Rebuild of app/ui/tabs/setup_tab.py: reference file browser (:209-254),
-background analysis via ReferenceAnalysisThread (:286-298), duration combo
-and handoff of reference_info to the CaptureManager (:300-355)."""
+background analysis via ReferenceAnalysisThread (:286-298), reference
+preview pane, duration combo and handoff of reference_info to the
+CaptureManager (:300-355). Display logic lives in the Qt-free setup
+controller (ui/controllers/setup.py)."""
 
 from __future__ import annotations
 
 import os
 
+from PyQt5.QtGui import QImage, QPixmap
 from PyQt5.QtWidgets import (
     QComboBox, QFileDialog, QFormLayout, QGroupBox, QLabel, QLineEdit,
     QPushButton, QTextEdit, QVBoxLayout, QWidget,
 )
 
 from pqa2_tpu.app.reference_analyzer import ReferenceAnalysisThread
+from pqa2_tpu.ui.controllers import (
+    DURATION_CHOICES, load_preview_rgb, parse_duration, reference_summary,
+)
 from pqa2_tpu.ui.qt_bridge import bridge
 
 
@@ -44,20 +50,22 @@ class SetupTab(QWidget):
         browse_btn = QPushButton("Browse...")
         browse_btn.clicked.connect(self.browse_reference_video)
         self.duration_combo = QComboBox()
-        self.duration_combo.addItems(["Full duration", "5s", "10s", "30s", "60s"])
+        self.duration_combo.addItems(DURATION_CHOICES)
+        self.preview_label = QLabel("No preview")
+        self.preview_label.setMinimumHeight(140)
         self.info_text = QTextEdit()
         self.info_text.setReadOnly(True)
         ref_layout.addWidget(self.ref_path_label)
         ref_layout.addWidget(browse_btn)
         ref_layout.addWidget(QLabel("Analysis duration:"))
         ref_layout.addWidget(self.duration_combo)
+        ref_layout.addWidget(self.preview_label)
         ref_layout.addWidget(self.info_text)
         layout.addWidget(ref_box)
         layout.addStretch(1)
 
     def selected_duration(self):
-        text = self.duration_combo.currentText()
-        return None if text == "Full duration" else float(text.rstrip("s"))
+        return parse_duration(self.duration_combo.currentText())
 
     def browse_reference_video(self):
         path, _ = QFileDialog.getOpenFileName(
@@ -82,15 +90,24 @@ class SetupTab(QWidget):
 
     def handle_reference_analyzed(self, info: dict):
         self.parent.reference_info = info
-        lines = [
-            f"Resolution: {info.get('width')}x{info.get('height')}",
-            f"Frame rate: {info.get('frame_rate'):.3f} fps",
-            f"Duration: {info.get('duration'):.2f}s "
-            f"({info.get('frame_count')} frames)",
-            f"Format: {info.get('pix_fmt')} ({info.get('codec')})",
-            f"White bookends present: {'yes' if info.get('has_bookends') else 'no'}",
-        ]
-        self.info_text.setPlainText("\n".join(lines))
+        self.info_text.setPlainText("\n".join(reference_summary(info)))
+        self._show_preview(info.get("path"))
         if self.parent.capture_manager is not None:
             self.parent.capture_manager.set_reference_video(info)
         self.parent.statusBar().showMessage("Reference analyzed")
+
+    def _show_preview(self, path):
+        """Reference preview pane (setup_tab preview / capture_tab
+        _show_reference_preview)."""
+        if not path:
+            return
+        rgb, status = load_preview_rgb(path)
+        if rgb is None:
+            self.preview_label.setText(status)
+            return
+        h, w, _ = rgb.shape
+        img = QImage(rgb.data, w, h, 3 * w, QImage.Format_RGB888)
+        self.preview_label.setPixmap(QPixmap.fromImage(img).scaled(
+            self.preview_label.width() or w,
+            self.preview_label.height() or h,
+        ))

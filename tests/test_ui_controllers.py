@@ -219,6 +219,120 @@ def test_log_attach_to_capture_manager(tmp_path):
     assert any(m.startswith("Capture finished successfully") for m in msgs)
 
 
+# -- options schema -------------------------------------------------------------
+
+
+def test_schema_keys_exist_in_defaults():
+    """Every schema field must name a real (category, key) in the defaults
+    tree — catches schema drift when settings are renamed."""
+    from pqa2_tpu.app.options_manager import default_settings
+    from pqa2_tpu.ui.controllers.options_schema import FIELDS
+
+    tree = default_settings()
+    for f in FIELDS:
+        assert f.category in tree, f.category
+        assert f.key in tree[f.category], (f.category, f.key)
+
+
+def test_schema_load_save_roundtrip(tmp_path):
+    from pqa2_tpu.app.options_manager import OptionsManager
+    from pqa2_tpu.ui.controllers.options_schema import (
+        coerce, fields_for_tab, load_values, save_values,
+    )
+
+    om = OptionsManager(settings_file=str(tmp_path / "s.json"),
+                        save_debounce_s=0)
+    values = load_values(om)
+    # Defaults load for every field.
+    assert values[("bookend", "white_threshold")] == 200
+    assert values[("vmaf", "feature_precision")] == "auto"
+    assert values[("capture", "pixel_format")] == "uyvy422"
+    # Mutate a few through the schema and save.
+    values[("bookend", "white_threshold")] = 222
+    values[("vmaf", "feature_precision")] = "float"
+    values[("capture", "frame_rate")] = "25"  # widget gives text
+    fr_field = next(f for f in fields_for_tab("Capture")
+                    if f.key == "frame_rate")
+    values[("capture", "frame_rate")] = coerce(
+        fr_field, values[("capture", "frame_rate")])
+    save_values(om, values)
+    assert om.get_setting("bookend", "white_threshold") == 222
+    assert om.get_setting("vmaf", "feature_precision") == "float"
+    assert om.get_setting("capture", "frame_rate") == 25.0
+    # Untouched settings keep their defaults.
+    assert om.get_setting("bookend", "min_loops") == 3
+
+
+def test_schema_coerce_kinds():
+    from pqa2_tpu.ui.controllers.options_schema import FIELDS, coerce
+
+    by = {(f.category, f.key): f for f in FIELDS}
+    assert coerce(by[("bookend", "white_threshold")], 200.0) == 200
+    assert isinstance(coerce(by[("bookend", "bookend_duration")], "0.3"),
+                      float)
+    assert coerce(by[("capture", "disable_audio")], 1) is True
+    assert coerce(by[("encoder", "default_preset")], "fast") == "fast"
+
+
+def test_schema_tabs_cover_all_fields():
+    from pqa2_tpu.ui.controllers.options_schema import (
+        FIELDS, TABS, fields_for_tab,
+    )
+
+    covered = [f for t in TABS for f in fields_for_tab(t)]
+    assert len(covered) == len(FIELDS)
+    # No duplicate (category, key) bindings.
+    keys = [(f.category, f.key) for f in FIELDS]
+    assert len(keys) == len(set(keys))
+
+
+# -- setup ----------------------------------------------------------------------
+
+
+def test_parse_duration():
+    from pqa2_tpu.ui.controllers import parse_duration
+
+    assert parse_duration("Full duration") is None
+    assert parse_duration("5s") == 5.0
+    assert parse_duration("60s") == 60.0
+    assert parse_duration("") is None
+    assert parse_duration("garbage") is None
+
+
+def test_reference_summary():
+    from pqa2_tpu.ui.controllers import reference_summary
+
+    info = {"width": 1920, "height": 1080, "frame_rate": 29.97,
+            "duration": 10.0, "frame_count": 300, "pix_fmt": "yuv420p",
+            "codec": "rawvideo", "has_bookends": True}
+    lines = reference_summary(info)
+    assert lines[0] == "Resolution: 1920x1080"
+    assert "29.970 fps" in lines[1]
+    assert lines[-1].endswith("yes")
+    info["bit_depth"] = 10
+    assert any("10-bit" in l for l in reference_summary(info))
+
+
+def test_load_preview_rgb(tmp_path, rng):
+    from pqa2_tpu.io.y4m import write_y4m
+    from pqa2_tpu.ui.controllers import load_preview_rgb
+
+    h, w = 32, 48
+    frames = [{"y": np.full((h, w), 40 * (i + 1), np.uint8),
+               "u": np.full((h // 2, w // 2), 128, np.uint8),
+               "v": np.full((h // 2, w // 2), 128, np.uint8)}
+              for i in range(3)]
+    p = str(tmp_path / "clip.y4m")
+    write_y4m(p, frames)
+    rgb, status = load_preview_rgb(p)
+    assert status == "ok" and rgb.shape == (h, w, 3)
+    assert (rgb[..., 0] == 40).all()
+    rgb2, _ = load_preview_rgb(p, frame_index=1)
+    assert (rgb2[..., 0] == 80).all()
+    none_rgb, msg = load_preview_rgb(str(tmp_path / "missing.y4m"))
+    assert none_rgb is None and "Preview unavailable" in msg
+
+
 # -- preview --------------------------------------------------------------------
 
 
