@@ -106,11 +106,16 @@ class BookendDetector:
     def __init__(self, config: Optional[BookendConfig] = None):
         self.config = config or BookendConfig()
 
-    def detect(self, luma: np.ndarray, fps: float = 30.0) -> List[Bookend]:
-        """(N, H, W) luma -> bookend list (>= 2 entries unless fallback off)."""
+    def detect(self, luma: np.ndarray, fps: float = 30.0,
+               stats=None) -> List[Bookend]:
+        """(N, H, W) luma -> bookend list (>= 2 entries unless fallback off).
+
+        ``stats``: optionally the precomputed frame_luma_stats dict (the
+        combined alignment pass shares one stats+thumbnails device trip)."""
         cfg = self.config
         n = luma.shape[0]
-        stats = frame_luma_stats(luma)
+        if stats is None:
+            stats = frame_luma_stats(luma)
         mean, std = stats["mean"], stats["std"]
 
         min_white = cfg.min_white_frames

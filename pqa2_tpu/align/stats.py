@@ -33,6 +33,54 @@ def _stats_chunk(frames: jnp.ndarray) -> Dict[str, jnp.ndarray]:
     return {"mean": mean, "std": std, "hist": hist}
 
 
+@jax.jit
+def _stats_thumb_chunk(frames: jnp.ndarray) -> jnp.ndarray:
+    """_stats_chunk + 8x8 block-mean thumbnails, packed into ONE
+    (N, 2 + 256 + 64) f32 array.
+
+    One dispatch and one device->host fetch per chunk instead of four —
+    on tunneled hosts each small fetch is a full (and flake-prone) round
+    trip, and bookend alignment is latency-bound, not compute-bound.
+    Histogram counts stay exact in f32 (frame pixel counts < 2^24).
+    """
+    s = _stats_chunk(frames)
+    n, h, w = frames.shape
+    bh, bw = h // 8, w // 8
+    x = frames.astype(jnp.float32)[:, : bh * 8, : bw * 8]
+    thumb = x.reshape(n, 8, bh, 8, bw).mean(axis=(2, 4)).reshape(n, 64)
+    return jnp.concatenate(
+        [s["mean"][:, None], s["std"][:, None],
+         s["hist"].astype(jnp.float32), thumb], axis=1)
+
+
+def _finish_stats(mean, std, hist, h, w) -> Dict[str, np.ndarray]:
+    stats = {"mean": mean, "std": std, "hist": hist}
+    # Suffix-sum of histogram: white_count[t] = #pixels with value > t.
+    above = np.cumsum(hist.astype(np.int64)[:, ::-1], axis=1)[:, ::-1]
+    stats["pixels"] = h * w
+    stats["_above"] = above
+    return stats
+
+
+def stats_and_thumbs(luma, chunk_size: int = 64):
+    """(N, H, W) luma -> (stats dict, (N, 64) thumbnails), one packed
+    device round trip per chunk. The combined pass for bookend alignment:
+    detection reads the stats, xcorr refinement reads the thumbnails."""
+    n = luma.shape[0]
+    parts = []
+    for start in range(0, n, chunk_size):
+        chunk = luma[start : start + chunk_size]
+        pad = chunk_size - chunk.shape[0]
+        if pad:
+            chunk = pad_frames(chunk, chunk_size)
+        out = np.asarray(_stats_thumb_chunk(jnp.asarray(chunk)))
+        parts.append(out[: chunk_size - pad or None])
+    packed = np.concatenate(parts)
+    stats = _finish_stats(packed[:, 0], packed[:, 1], packed[:, 2:258],
+                          luma.shape[-2], luma.shape[-1])
+    return stats, packed[:, 258:]
+
+
 def frame_luma_stats(luma: np.ndarray, chunk_size: int = 64) -> Dict[str, np.ndarray]:
     """(N, H, W) luma (uint8 or float in [0,255]) -> per-frame stats.
 
@@ -52,13 +100,9 @@ def frame_luma_stats(luma: np.ndarray, chunk_size: int = 64) -> Dict[str, np.nda
         take = chunk.shape[0] - pad
         parts.append({k: np.asarray(v)[:take] for k, v in out.items()})
     stats = {k: np.concatenate([p[k] for p in parts]) for k in parts[0]}
-    # Suffix-sum of histogram: white_count[t] = #pixels with value > t.
-    hist = stats["hist"].astype(np.int64)
-    npix = luma.shape[-2] * luma.shape[-1]
-    above = np.cumsum(hist[:, ::-1], axis=1)[:, ::-1]  # >= t
-    stats["pixels"] = npix
-    stats["_above"] = above
-    return stats
+    hist = stats["hist"]
+    return _finish_stats(stats["mean"], stats["std"], hist,
+                         luma.shape[-2], luma.shape[-1])
 
 
 def white_ratio(stats: Dict[str, np.ndarray], threshold: float) -> np.ndarray:

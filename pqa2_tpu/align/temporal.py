@@ -162,8 +162,14 @@ def align_bookend_clips(
     n_ref = ref_luma.shape[0]
     n_cap = cap_luma.shape[0]
 
+    # One packed stats+thumbnails pass over the capture: detection reads
+    # the stats, the xcorr refinement below reads the thumbnails — a single
+    # device round trip per chunk instead of two passes (align/stats.py).
+    from pqa2_tpu.align.stats import stats_and_thumbs
+
+    cap_stats, cap_thumbs = stats_and_thumbs(cap_luma)
     detector = BookendDetector(cfg)
-    bookends = detector.detect(cap_luma, fps)
+    bookends = detector.detect(cap_luma, fps, stats=cap_stats)
     if len(bookends) < 2:
         raise ValueError("failed to detect at least two white bookend sections")
     is_fallback = any(b.is_fallback for b in bookends)
@@ -187,7 +193,7 @@ def align_bookend_clips(
     offset_delta = 0
     if refine and not is_fallback:
         ref_series = thumb_series(ref_luma)
-        cap_series = thumb_series(cap_luma)
+        cap_series = cap_thumbs  # from the packed stats pass above
         n_cmp = min(n_ref, content_stop - content_start)
         offset_delta, corr = refine_offset_xcorr(
             ref_series[:n_cmp], cap_series, content_start

@@ -179,6 +179,19 @@ def extract_features_batched(
     }
 
 
+def fetch_features(feats: Dict[str, "jnp.ndarray"]) -> Dict[str, "np.ndarray"]:
+    """Feature dict -> host numpy via ONE packed device->host transfer.
+
+    Fetching the seven (N,) feature arrays individually costs seven device
+    round trips per chunk; on tunneled hosts each is a full (flake-prone)
+    RTT. One on-device stack + one fetch replaces them."""
+    import numpy as np
+
+    keys = sorted(feats)
+    packed = np.asarray(jnp.stack([feats[k] for k in keys]))
+    return {k: packed[i] for i, k in enumerate(keys)}
+
+
 def model_feature_params(model, precision: Optional[str] = None) -> Dict[str, object]:
     """Static extraction knobs implied by a VMAFModel's feature_opts.
 

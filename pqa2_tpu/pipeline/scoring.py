@@ -174,7 +174,10 @@ def extract_clip_features(
             has_prev=has_prev, has_next=has_next, **feature_params,
         )
         core_n = stop - start
-        part = {k: np.array(v[:core_n]) for k, v in feats.items()}
+        from pqa2_tpu.pipeline.features import fetch_features
+
+        fetched = fetch_features(feats)
+        part = {k: v[:core_n].copy() for k, v in fetched.items()}
         if pad > 0 and not has_next:
             # The duplicated pad frame gave the true last frame a zero forward
             # SAD; restore the clip-end semantics motion2[last] = sad(t-1, t).

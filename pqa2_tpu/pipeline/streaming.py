@@ -223,7 +223,9 @@ def stream_score(
                 out = extract_features_batched(
                     rb, db, has_prev=has_prev, has_next=has_next, **params,
                 )
-                return {k: np.asarray(v) for k, v in out.items()}, rb, db
+                from pqa2_tpu.pipeline.features import fetch_features
+
+                return fetch_features(out), rb, db
 
             # Per-chunk retry on transient device faults (preemption, flaky
             # interconnect) — the TPU-side analog of the reference's

@@ -48,6 +48,24 @@ def test_frame_stats_and_white_ratio(rng):
     assert r[1] < 0.2
 
 
+def test_packed_stats_thumbs_match_separate_passes(rng):
+    """stats_and_thumbs (one packed device trip per chunk) must equal the
+    separate frame_luma_stats + thumb_series passes exactly."""
+    from pqa2_tpu.align.stats import stats_and_thumbs
+    from pqa2_tpu.align.temporal import thumb_series
+
+    luma = rng.integers(0, 256, (70, 48, 64)).astype(np.uint8)  # 2 chunks
+    stats, thumbs = stats_and_thumbs(luma)
+    want = frame_luma_stats(luma)
+    np.testing.assert_allclose(stats["mean"], want["mean"], rtol=1e-6)
+    np.testing.assert_allclose(stats["std"], want["std"], rtol=1e-6)
+    np.testing.assert_array_equal(stats["_above"], want["_above"])
+    np.testing.assert_allclose(thumbs, thumb_series(luma), rtol=1e-6)
+    r1 = white_ratio(stats, 200.0)
+    r2 = white_ratio(want, 200.0)
+    np.testing.assert_array_equal(r1, r2)
+
+
 def test_detect_bookends_basic(rng):
     cap, _ = _bookend_capture(rng, n_loops=2)
     bks = detect_bookends(cap, fps=30.0, config=BookendConfig(min_white_frames=3))
