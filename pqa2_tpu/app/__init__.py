@@ -16,3 +16,5 @@ from pqa2_tpu.app.reference_analyzer import (
 )
 from pqa2_tpu.app.capture import CaptureManager, CaptureState
 from pqa2_tpu.app.report_generator import ReportGenerator, ReportGeneratorThread
+from pqa2_tpu.app.workflow import CombinedWorkflowThread, run_combined_workflow
+from pqa2_tpu.app.results_store import ResultsStore

@@ -29,6 +29,11 @@ def _add_score_args(p):
     p.add_argument("--pool", default="mean",
                    choices=["mean", "min", "max", "harmonic_mean"])
     p.add_argument("--subsample", type=int, default=1)
+    p.add_argument("--precision", default="auto",
+                   choices=["auto", "integer", "float"],
+                   help="feature family: auto follows the model (integer "
+                        "models -> the fixed-point path), float forces the "
+                        "faster f32 kernels")
     p.add_argument("--no-psnr", action="store_true")
     p.add_argument("--no-ssim", action="store_true")
 
@@ -40,6 +45,8 @@ def cmd_score(args) -> int:
     analyzer.model = args.model
     analyzer.pool_method = args.pool
     analyzer.feature_subsample = args.subsample
+    analyzer.feature_precision = (
+        None if args.precision == "auto" else args.precision)
     analyzer.psnr_enabled = not args.no_psnr
     analyzer.ssim_enabled = not args.no_ssim
     if args.out:
