@@ -46,7 +46,12 @@ MAX_REPAIR_ATTEMPTS = 3
 # kills only registered pids whose live cmdline still matches the recorded
 # one — same de-conflict guarantee, zero collateral.
 
-_DEFAULT_REGISTRY = os.path.join(tempfile.gettempdir(), "pqa2_capture_pids.json")
+# Per-user path: a shared /tmp file would make a second user's capture die
+# on os.replace(PermissionError) with the ffmpeg child already running.
+_DEFAULT_REGISTRY = os.path.join(
+    tempfile.gettempdir(),
+    f"pqa2_capture_pids_{getattr(os, 'getuid', lambda: 0)()}.json",
+)
 
 
 def _read_registry(path: str) -> List[Dict]:
@@ -245,6 +250,23 @@ class DeckLinkBackend(CaptureBackend):
         )
         self._proc = proc
         register_capture_pid(proc.pid, cmd, self.registry_path)
+        # Drain stderr continuously: ffmpeg writes stats throughout a
+        # capture and blocks once the 64KB pipe buffer fills — a long
+        # capture would stall mid-run if nobody reads. Keep only a tail
+        # for the error message.
+        err_tail: List[str] = []
+
+        def _drain():
+            try:
+                for line in proc.stderr:
+                    err_tail.append(line)
+                    if len(err_tail) > 50:
+                        del err_tail[:-50]
+            except (OSError, ValueError):
+                pass
+
+        drain = threading.Thread(target=_drain, daemon=True)
+        drain.start()
         try:
             start = time.time()
             watchdog = duration * 2 + 10  # terminate runaways (capture.py:80-85)
@@ -256,7 +278,8 @@ class DeckLinkBackend(CaptureBackend):
                     raise TimeoutError("capture exceeded 2x expected duration")
                 time.sleep(0.25)
             if proc.returncode != 0:
-                stderr = proc.stderr.read() if proc.stderr else ""
+                drain.join(timeout=2.0)
+                stderr = "".join(err_tail)
                 raise RuntimeError(f"ffmpeg capture failed: {stderr[-400:]}")
             return True
         finally:

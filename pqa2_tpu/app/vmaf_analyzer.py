@@ -286,8 +286,11 @@ class VMAFAnalyzer:
         n = min(len(ref_planes), len(dist_planes))
         self.status_update.emit(f"Starting VMAF analysis with model {model}...")
         self.analysis_progress.emit(5)
+        # Meter total = frames that actually get scored: subsample=k means
+        # only ~n/k frames ever reach frame_cb (same fix as analyze_videos).
+        n_sampled = -(-n // max(1, self.feature_subsample))
         meter = ThroughputMeter(
-            n,
+            n_sampled or 1,
             progress_cb=lambda p: self.analysis_progress.emit(5 + p * 75 // 100),
             status_cb=self.status_update.emit,
         )

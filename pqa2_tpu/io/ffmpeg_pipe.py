@@ -167,7 +167,12 @@ class FFmpegPipeReader:
             self._dtype = np.uint8
         self.meta = meta
         itemsize = np.dtype(self._dtype).itemsize
-        self._frame_bytes = itemsize * (self.width * self.height * 3) // 2
+        # yuv420p chroma planes are ceil(w/2) x ceil(h/2) — odd-dimension
+        # sources would desynchronise the pipe with a w*h*3//2 assumption.
+        self._cw = (self.width + 1) // 2
+        self._ch = (self.height + 1) // 2
+        self._frame_bytes = itemsize * (
+            self.width * self.height + 2 * self._cw * self._ch)
         self._proc = subprocess.Popen(
             [ff, "-v", "error", "-nostdin", "-i", self.path,
              "-map", "0:v:0", "-f", "rawvideo", "-pix_fmt", self._pix_fmt,
@@ -200,9 +205,9 @@ class FFmpegPipeReader:
                 f"truncated rawvideo frame from ffmpeg pipe ({len(buf)} of "
                 f"{self._frame_bytes} bytes) for {self.path!r}")
         w, h = self.width, self.height
+        cw, ch = self._cw, self._ch
         a = np.frombuffer(buf, dtype=self._dtype)
         y = a[: w * h].reshape(h, w)
-        cw, ch = w // 2, h // 2
         u = a[w * h : w * h + cw * ch].reshape(ch, cw)
         v = a[w * h + cw * ch :].reshape(ch, cw)
         return {"y": y, "u": u, "v": v}

@@ -38,6 +38,9 @@ from pqa2_tpu.golden.fixedpoint import (
     SIGMA_NSQ_Q16,
     VIF_FILTERS_Q16,
 )
+# Exact (a*b + 2^31) >> 32 in 16-bit limbs — one definition shared with the
+# XLA twin (pure jnp, lowers fine inside Mosaic kernels).
+from pqa2_tpu.ops.vif_int import _mul_shift32
 
 DEFAULT_TILE_H = 64
 TILE_W = 512
@@ -47,23 +50,6 @@ _MASK16 = np.uint32(0xFFFF)
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
-
-
-def _mul_shift32(a, b):
-    """Exact (a*b + 2^31) >> 32 for uint32 a, b (ops/vif_int.py:82)."""
-    ah, al = a >> 16, a & _MASK16
-    bh, bl = b >> 16, b & _MASK16
-    m1 = ah * bl
-    m2 = al * bh
-    mid = m1 + m2
-    c_mid = (mid < m1).astype(jnp.uint32)
-    low = al * bl
-    t1 = (mid & _MASK16) << 16
-    s1 = t1 + low
-    c1 = (s1 < t1).astype(jnp.uint32)
-    s2 = s1 + jnp.uint32(0x80000000)
-    c2 = (s2 < s1).astype(jnp.uint32)
-    return ah * bh + (c_mid << 16) + (mid >> 16) + c1 + c2
 
 
 def _statistic_int(s1i, s2i, s12i, gain_limit):

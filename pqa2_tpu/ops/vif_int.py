@@ -171,8 +171,11 @@ def to_u8_grid(x: jnp.ndarray, bit_depth: int = 8) -> jnp.ndarray:
         xi = jnp.minimum((xi + (1 << (shift - 1))) >> shift, 255)
         return xi.astype(_U32)
     if jnp.issubdtype(x.dtype, jnp.floating):
-        # The float pipeline hands us 8-bit-scale values; round to the grid.
-        return jnp.clip(jnp.round(x), 0, 255).astype(_U32)
+        # The float pipeline hands us 8-bit-scale values; round to the grid
+        # HALF-UP (floor(x + 0.5)) — the oracle's (x + half) >> shift rule —
+        # not jnp.round's half-to-even, which would skew exact-.5 values
+        # (native 10-bit codes ≡ 2 mod 4) by 1 LSB vs golden/vif_int.py.
+        return jnp.clip(jnp.floor(x + 0.5), 0, 255).astype(_U32)
     return x.astype(_U32)
 
 

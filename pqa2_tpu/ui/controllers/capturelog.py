@@ -60,11 +60,19 @@ class LogEntry:
 
 
 class CaptureLogModel:
-    """Bounded log with listeners (the Qt pane registers one)."""
+    """Bounded log with listeners (the Qt pane registers one).
+
+    ``add`` runs on whatever thread emitted the message (capture worker
+    threads included). Qt panes must NOT subscribe via ``on_entry`` —
+    widgets are GUI-thread-only; bridge ``entry_added`` through
+    ui.qt_bridge instead (which queues across threads)."""
 
     def __init__(self, max_entries: int = 500,
                  clock: Optional[Callable[[], str]] = None):
+        from pqa2_tpu.utils.signals import Signal
+
         self.entries: Deque[LogEntry] = deque(maxlen=max_entries)
+        self.entry_added = Signal(object, name="log_entry_added")
         self._clock = clock or (lambda: time.strftime("%H:%M:%S"))
         self._listeners: List[Callable[[LogEntry], None]] = []
         self._lock = threading.Lock()
@@ -76,6 +84,7 @@ class CaptureLogModel:
             listeners = list(self._listeners)
         for cb in listeners:
             cb(entry)
+        self.entry_added.emit(entry)
         return entry
 
     def on_entry(self, cb: Callable[[LogEntry], None]) -> None:

@@ -18,13 +18,18 @@ import numpy as np
 Frame = Union[np.ndarray, Dict[str, np.ndarray], None]
 
 
-def to_rgb(frame: Frame) -> Tuple[Optional[np.ndarray], str]:
+def to_rgb(frame: Frame,
+           bit_depth: Optional[int] = None) -> Tuple[Optional[np.ndarray], str]:
     """Normalise any frame the engine emits to (H, W, 3) uint8 RGB.
 
     Returns (rgb_or_None, status). Accepted inputs: grayscale (H, W),
     BGR (H, W, 3) — cv2 capture order — or a planar y/u/v dict (engine
     previews emit luma dicts). None when the frame can't be displayed,
     with the placeholder message the pane should show.
+
+    ``bit_depth``: source depth for uint16 frames (10-bit y4m delivers
+    code values 0..1023, not 0..65535 — a blind >> 8 would render black).
+    Unknown uint16 depth falls back to inferring from the data range.
     """
     if frame is None:
         return None, "No video feed received"
@@ -32,7 +37,7 @@ def to_rgb(frame: Frame) -> Tuple[Optional[np.ndarray], str]:
         y = frame.get("y")
         if y is None or getattr(y, "size", 0) == 0:
             return None, "Empty video frame received"
-        return to_rgb(np.asarray(y))
+        return to_rgb(np.asarray(y), bit_depth=bit_depth)
     if not isinstance(frame, np.ndarray):
         return None, f"Invalid frame format ({type(frame).__name__})"
     if frame.size == 0:
@@ -40,7 +45,11 @@ def to_rgb(frame: Frame) -> Tuple[Optional[np.ndarray], str]:
     if frame.dtype != np.uint8:
         # >8-bit luma scales down for display; floats clip to [0, 255].
         if frame.dtype == np.uint16:
-            frame = (frame >> 8).astype(np.uint8)
+            depth = bit_depth
+            if depth is None:
+                peak = int(frame.max())
+                depth = 10 if peak < 1024 else (12 if peak < 4096 else 16)
+            frame = (frame >> max(depth - 8, 0)).astype(np.uint8)
         else:
             frame = np.clip(frame, 0, 255).astype(np.uint8)
     if frame.ndim == 2:

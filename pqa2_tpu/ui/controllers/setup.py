@@ -55,6 +55,7 @@ def load_preview_rgb(path: str,
         from pqa2_tpu.io.video import VideoReader
 
         with VideoReader(path) as r:
+            depth = r.info.bit_depth
             frame = None
             for i, fr in enumerate(r):
                 frame = fr
@@ -62,6 +63,6 @@ def load_preview_rgb(path: str,
                     break
         if frame is None:
             return None, "No frames in video"
-        return to_rgb(frame)
+        return to_rgb(frame, bit_depth=depth)
     except Exception as e:
         return None, f"Preview unavailable: {e}"

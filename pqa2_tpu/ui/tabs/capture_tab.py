@@ -38,7 +38,11 @@ class CaptureTab(QWidget):
                 bridge(cm.capture_finished, self._on_finished, parent=self),
                 bridge(cm.frame_available, self._on_frame, parent=self),
             ]
-        self.log_model.on_entry(self._render_log_entry)
+        # Log entries arrive on capture worker threads; the bridge queues
+        # them onto the GUI thread before the pane is touched.
+        self._bridges.append(
+            bridge(self.log_model.entry_added, self._render_log_entry,
+                   parent=self))
 
     def _setup_ui(self):
         layout = QVBoxLayout(self)

@@ -128,6 +128,42 @@ def test_clean_error_without_ffmpeg(tmp_path, monkeypatch):
         VideoReader(str(bad))
 
 
+def test_odd_dimensions_chroma_geometry(tmp_path, rng, monkeypatch):
+    """yuv420p chroma planes are ceil/2 — odd-dimension sources must not
+    desynchronise the pipe (w*h*3//2 would under-read every frame)."""
+    w, h, n = 33, 23, 2
+    cw, ch = 17, 12
+    frames = []
+    blob = b""
+    for _ in range(n):
+        y = rng.integers(0, 255, (h, w), dtype=np.uint8)
+        u = rng.integers(0, 255, (ch, cw), dtype=np.uint8)
+        v = rng.integers(0, 255, (ch, cw), dtype=np.uint8)
+        frames.append({"y": y, "u": u, "v": v})
+        blob += y.tobytes() + u.tobytes() + v.tobytes()
+    raw = tmp_path / "odd.raw"
+    raw.write_bytes(blob)
+    probe_json = json.dumps({"streams": [{
+        "width": w, "height": h, "r_frame_rate": "30/1",
+        "nb_frames": str(n), "pix_fmt": "yuv420p",
+        "codec_name": "prores", "duration": f"{n / 30.0}"}]})
+    ffprobe = tmp_path / "ffprobe"
+    ffprobe.write_text(f"#!/bin/sh\ncat <<'EOF'\n{probe_json}\nEOF\n")
+    ffmpeg = tmp_path / "ffmpeg"
+    ffmpeg.write_text(f"#!/bin/sh\ncat {raw}\n")
+    for p in (ffprobe, ffmpeg):
+        p.chmod(p.stat().st_mode | stat.S_IEXEC)
+    monkeypatch.setenv("PQA2_FFMPEG", str(ffmpeg))
+    monkeypatch.setenv("PQA2_FFPROBE", str(ffprobe))
+    with FFmpegPipeReader(str(tmp_path / "odd.mkv")) as r:
+        got = list(r)
+    assert len(got) == n
+    for a, b in zip(got, frames):
+        np.testing.assert_array_equal(a["y"], b["y"])
+        np.testing.assert_array_equal(a["u"], b["u"])
+        np.testing.assert_array_equal(a["v"], b["v"])
+
+
 def test_truncated_pipe_raises(tmp_path, rng, monkeypatch):
     """Mid-frame EOF surfaces as a readable IOError, not a shape error."""
     frames, raw = _mk_raw_yuv(tmp_path, rng)

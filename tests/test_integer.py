@@ -203,3 +203,22 @@ def test_integer_chunked_equals_whole(rng):
     for k in whole:
         np.testing.assert_allclose(chunked[k], whole[k], rtol=0, atol=1e-6,
                                    err_msg=k)
+
+
+def test_to_u8_grid_half_up_ties():
+    """Exact-.5 values at the 8-bit scale must round HALF-UP — the oracle's
+    (x + half) >> shift rule — not numpy/jax round-half-to-even. Native
+    10-bit codes ≡ 2 mod 4 land exactly on ties (code 2 -> 0.5 -> 1)."""
+    import jax.numpy as jnp
+
+    from pqa2_tpu.ops.vif_int import to_u8_grid
+
+    codes10 = np.array([2, 6, 10, 1018, 1022], dtype=np.int32)
+    # Integer 10-bit path: (x + 2) >> 2.
+    want = (codes10 + 2) >> 2
+    got_int = np.asarray(to_u8_grid(jnp.asarray(codes10), bit_depth=10))
+    np.testing.assert_array_equal(got_int, np.minimum(want, 255))
+    # Float path (8-bit-scale values, as the pipeline divides them).
+    got_float = np.asarray(to_u8_grid(jnp.asarray(codes10 / 4.0,
+                                                  dtype=jnp.float32)))
+    np.testing.assert_array_equal(got_float, got_int)

@@ -181,6 +181,8 @@ def test_log_entries_and_html():
     log = CaptureLogModel(max_entries=3, clock=lambda: "12:00:00")
     seen = []
     log.on_entry(seen.append)
+    via_signal = []
+    log.entry_added.connect(via_signal.append)  # the Qt-bridgeable channel
     log.add("Starting")
     e = log.add("Capture failed: no signal")
     assert e.severity == "error"
@@ -188,6 +190,7 @@ def test_log_entries_and_html():
     assert "#D32F2F" in e.html and "bold" in e.html
     assert log.has_errors
     assert len(seen) == 2
+    assert len(via_signal) == 2 and via_signal[-1].severity == "error"
     # Ring buffer: oldest entries drop.
     log.add("a")
     log.add("b")
@@ -350,9 +353,13 @@ def test_to_rgb_variants():
     rgb, _ = to_rgb({"y": gray})
     assert rgb.shape == (4, 6, 3)
 
-    hi = np.full((2, 2), 1023, np.uint16)
-    rgb, _ = to_rgb(hi)
-    assert rgb.dtype == np.uint8
+    # 10-bit code values must scale by the real depth, not a blind >> 8
+    # (which would render 0..1023 as black).
+    hi = np.full((2, 2), 1000, np.uint16)
+    rgb, _ = to_rgb(hi, bit_depth=10)
+    assert rgb.dtype == np.uint8 and (rgb == 250).all()
+    rgb_inferred, _ = to_rgb(hi)  # depth inferred from the data range
+    assert (rgb_inferred == 250).all()
 
     assert to_rgb(None) == (None, "No video feed received")
     r, msg = to_rgb(np.zeros((0,), np.uint8))
