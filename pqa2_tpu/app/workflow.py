@@ -37,6 +37,45 @@ def _decode(path: str):
     return info, frames
 
 
+def _estimated_decoded_bytes(*paths) -> Optional[int]:
+    """Sum of decoded YUV420 sizes, from container metadata (None if any
+    probe lacks a frame count — then the in-memory path proceeds and
+    ordinary decode errors surface normally)."""
+    total = 0
+    for p in paths:
+        try:
+            with VideoReader(p) as r:
+                info = r.info
+        except Exception:
+            return None
+        if not info.frame_count:
+            return None
+        itemsize = 2 if info.bit_depth > 8 else 1
+        total += int(info.frame_count * info.width * info.height * 1.5
+                     * itemsize)
+    return total
+
+
+def _run_two_pass(reference_path, captured_path, *, aligner, analyzer,
+                  model, duration, t_start):
+    """Align-to-disk + streaming-score fallback for oversized inputs.
+    Same result shape as the in-memory path."""
+    alignment = aligner.align_bookend_videos(reference_path, captured_path)
+    if alignment is None:
+        return None
+    analysis = analyzer.analyze_videos(
+        alignment["aligned_reference"], alignment["aligned_captured"],
+        model=model, duration=duration,
+    )
+    if analysis is None:
+        return None
+    return {
+        "alignment": alignment,
+        "analysis": analysis,
+        "wall_seconds": round(time.perf_counter() - t_start, 3),
+    }
+
+
 def _shift_depth(frames: List[Dict], from_depth: int, to_depth: int):
     """Exact depth promotion (<< diff) so both clips score on one scale."""
     if from_depth == to_depth:
@@ -60,6 +99,7 @@ def run_combined_workflow(
     analyzer=None,
     write_aligned: bool = True,
     duration: Optional[float] = None,
+    max_in_memory_bytes: int = 2 << 30,
 ) -> Optional[Dict]:
     """Decode-once bookend workflow. Returns
     ``{"alignment": <BookendAligner-shaped dict>, "analysis":
@@ -70,6 +110,11 @@ def run_combined_workflow(
     ``aligner``/``analyzer`` instances are optional — pass them to receive
     progress/status/complete signals; fresh engine instances are created
     otherwise.
+
+    Inputs whose decoded size exceeds ``max_in_memory_bytes`` (default 2 GB;
+    e.g. minutes of 4K) fall back to the two-pass path — BookendAligner
+    trims to disk, the streaming analyzer scores with bounded host memory —
+    trading the decode-once speedup for a flat memory ceiling.
     """
     from pqa2_tpu.app.bookend_aligner import AlignmentState, BookendAligner
     from pqa2_tpu.app.vmaf_analyzer import VMAFAnalyzer
@@ -81,6 +126,16 @@ def run_combined_workflow(
         analyzer.set_output_directory(out_dir)
     if test_name:
         analyzer.set_test_name(test_name)
+
+    est = _estimated_decoded_bytes(reference_path, captured_path)
+    if est is not None and est > max_in_memory_bytes:
+        logger.info(
+            "inputs decode to ~%.1f GB > %.1f GB budget; using the "
+            "two-pass streaming path", est / 1e9, max_in_memory_bytes / 1e9)
+        return _run_two_pass(
+            reference_path, captured_path, aligner=aligner,
+            analyzer=analyzer, model=model, duration=duration,
+            t_start=t_start)
 
     aligner.state = AlignmentState.RUNNING
     try:

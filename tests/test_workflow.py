@@ -142,6 +142,27 @@ def test_combined_duration_cap(bookend_pair, tmp_path):
     assert r1 - r0 == 3
 
 
+def test_oversized_inputs_fall_back_to_two_pass(bookend_pair, tmp_path):
+    """Inputs past the memory budget route through align-to-disk +
+    streaming scoring (bounded host memory) with the same result shape."""
+    ref_path, cap_path = bookend_pair
+    analyzer = VMAFAnalyzer()
+    analyzer.set_output_directory(str(tmp_path / "tp"))
+    out = run_combined_workflow(
+        ref_path, cap_path, analyzer=analyzer,
+        max_in_memory_bytes=1,  # force the fallback
+    )
+    assert out is not None
+    assert os.path.exists(out["alignment"]["aligned_captured"])
+    assert out["analysis"]["vmaf_score"] > 0
+    # Agrees with the in-memory path on the alignment decision.
+    mem = run_combined_workflow(ref_path, cap_path,
+                                out_dir=str(tmp_path / "mem"))
+    assert out["alignment"]["cap_range"] == mem["alignment"]["cap_range"]
+    assert out["analysis"]["vmaf_score"] == pytest.approx(
+        mem["analysis"]["vmaf_score"], abs=2e-3)
+
+
 def test_combined_subsample(bookend_pair, tmp_path):
     ref_path, cap_path = bookend_pair
     analyzer = VMAFAnalyzer()
