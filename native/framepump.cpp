@@ -208,4 +208,113 @@ int fp_next_batch(void* handle, uint8_t* dst, int n) {
 
 void fp_close(void* handle) { delete static_cast<Pump*>(handle); }
 
+// ---------------------------------------------------------------------------
+// framewriter — the write-side pump (SURVEY.md section 2.3 N1, symmetric to
+// the reader): a writer thread drains a ring of queued frames to disk so the
+// Python side (scoring, alignment) never blocks on file I/O. Used for the
+// aligned-trim artifacts and the fake-capture backend.
+
+namespace {
+
+struct WPump {
+  FILE* f = nullptr;
+  size_t frame_bytes = 0;
+  int ring_size = 0;
+  std::vector<std::vector<uint8_t>> ring;
+  std::mutex mu;
+  std::condition_variable cv_writer, cv_producer;
+  int64_t queued = 0;   // frames handed to the pump
+  int64_t written = 0;  // frames flushed to disk
+  bool error = false;
+  bool stop = false;  // no more frames will be queued
+  std::thread writer;
+
+  ~WPump() {
+    {
+      std::lock_guard<std::mutex> lk(mu);
+      stop = true;
+    }
+    cv_writer.notify_all();
+    cv_producer.notify_all();
+    if (writer.joinable()) writer.join();
+    if (f) fclose(f);
+  }
+
+  void writer_loop() {
+    for (;;) {
+      std::unique_lock<std::mutex> lk(mu);
+      cv_writer.wait(lk, [&] { return stop || queued > written; });
+      if (queued == written && stop) return;
+      if (queued == written) continue;
+      auto& buf = ring[written % ring_size];
+      lk.unlock();
+      bool ok = fwrite("FRAME\n", 1, 6, f) == 6 &&
+                fwrite(buf.data(), 1, frame_bytes, f) == frame_bytes;
+      lk.lock();
+      if (!ok) {
+        error = true;
+        stop = true;
+        cv_producer.notify_all();
+        return;
+      }
+      ++written;
+      cv_producer.notify_all();
+    }
+  }
+};
+
+}  // namespace
+
+// Create a writer: writes the stream header immediately. header_line must be
+// the full "YUV4MPEG2 ...\n" line; frame_bytes the per-frame payload size.
+void* fw_open(const char* path, const char* header_line, int64_t frame_bytes,
+              int ring_size) {
+  if (ring_size < 2) ring_size = 2;
+  FILE* f = fopen(path, "wb");
+  if (!f) return nullptr;
+  size_t hl = strlen(header_line);
+  if (fwrite(header_line, 1, hl, f) != hl) {
+    fclose(f);
+    return nullptr;
+  }
+  auto* p = new WPump();
+  p->f = f;
+  p->frame_bytes = (size_t)frame_bytes;
+  p->ring_size = ring_size;
+  p->ring.resize(ring_size);
+  for (auto& b : p->ring) b.resize(p->frame_bytes);
+  p->writer = std::thread([p] { p->writer_loop(); });
+  return p;
+}
+
+// Queue one frame payload (frame_bytes). Blocks only when the ring is full.
+// 1 = queued, -1 = writer failed.
+int fw_write(void* handle, const uint8_t* src) {
+  auto* p = static_cast<WPump*>(handle);
+  std::unique_lock<std::mutex> lk(p->mu);
+  p->cv_producer.wait(lk, [&] {
+    return p->error || p->queued - p->written < p->ring_size;
+  });
+  if (p->error) return -1;
+  auto& buf = p->ring[p->queued % p->ring_size];
+  memcpy(buf.data(), src, p->frame_bytes);
+  ++p->queued;
+  p->cv_writer.notify_one();
+  return 1;
+}
+
+// Flush remaining frames and close. 0 = ok, -1 = a write failed.
+int fw_close(void* handle) {
+  auto* p = static_cast<WPump*>(handle);
+  {
+    std::unique_lock<std::mutex> lk(p->mu);
+    p->stop = true;
+    p->cv_writer.notify_all();
+    p->cv_producer.wait(lk, [&] { return p->error || p->written == p->queued; });
+  }
+  int rc = p->error ? -1 : 0;
+  delete p;
+  return rc;
+}
+
 }  // extern "C"

@@ -66,6 +66,14 @@ def _load():
                                       ctypes.POINTER(ctypes.c_uint8),
                                       ctypes.c_int]
         lib.fp_close.argtypes = [ctypes.c_void_p]
+        lib.fw_open.restype = ctypes.c_void_p
+        lib.fw_open.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
+                                ctypes.c_int64, ctypes.c_int]
+        lib.fw_write.restype = ctypes.c_int
+        lib.fw_write.argtypes = [ctypes.c_void_p,
+                                 ctypes.POINTER(ctypes.c_uint8)]
+        lib.fw_close.restype = ctypes.c_int
+        lib.fw_close.argtypes = [ctypes.c_void_p]
         _lib = lib
         return _lib
 
@@ -141,6 +149,56 @@ class NativeY4MReader:
         if self._h:
             self._lib.fp_close(self._h)
             self._h = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+class NativeY4MWriter:
+    """Threaded y4m writer over the C++ write pump (native/framepump.cpp
+    fw_*): frames queue into a ring and a C++ thread drains them to disk,
+    so scoring/alignment never block on artifact writes. Byte-identical
+    output to io.y4m.Y4MWriter (same header line, FRAME markers, plane
+    order) — pinned by test_native.py."""
+
+    def __init__(self, path: str, header_line: str, frame_bytes: int,
+                 ring_size: int = 8):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native framepump unavailable (no g++?)")
+        self._lib = lib
+        self.frame_bytes = int(frame_bytes)
+        self._h = lib.fw_open(os.fsencode(path), header_line.encode(),
+                              self.frame_bytes, ring_size)
+        if not self._h:
+            raise IOError(f"cannot open y4m for writing: {path}")
+
+    def write_payload(self, payload: np.ndarray) -> None:
+        """Queue one frame payload (concatenated y+u+v bytes)."""
+        buf = np.ascontiguousarray(payload).view(np.uint8).ravel()
+        if buf.nbytes != self.frame_bytes:
+            raise ValueError(
+                f"payload is {buf.nbytes} bytes, expected {self.frame_bytes}")
+        r = self._lib.fw_write(
+            self._h, buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+        if r < 0:
+            raise IOError("native framewriter failed (disk full?)")
+
+    def close(self) -> None:
+        if self._h:
+            rc = self._lib.fw_close(self._h)
+            self._h = None
+            if rc != 0:
+                raise IOError("native framewriter flush failed")
 
     def __enter__(self):
         return self

@@ -14,11 +14,14 @@ from __future__ import annotations
 
 import dataclasses
 import io
+import logging
 import os
 import re
 from typing import Dict, Iterator, List, Optional, Tuple
 
 import numpy as np
+
+logger = logging.getLogger(__name__)
 
 
 @dataclasses.dataclass
@@ -186,6 +189,10 @@ def read_y4m(path) -> Tuple[Y4MHeader, List[Dict[str, np.ndarray]]]:
 
 
 def write_y4m(path, frames, fps=(30, 1), colorspace="C420mpeg2") -> None:
+    """Write frames as y4m. Uses the native threaded write pump when the
+    C++ library is built (byte-identical output; queues frames to a writer
+    thread so the caller never blocks on disk), falling back to the pure
+    Python writer otherwise."""
     f0 = frames[0]
     header = Y4MHeader(
         width=f0["y"].shape[1],
@@ -194,6 +201,28 @@ def write_y4m(path, frames, fps=(30, 1), colorspace="C420mpeg2") -> None:
         fps_den=fps[1],
         colorspace=colorspace,
     )
+    if isinstance(path, (str, os.PathLike)):
+        try:
+            from pqa2_tpu.io.native import NativeY4MWriter, is_available
+
+            if is_available():
+                header_line = (
+                    f"YUV4MPEG2 W{header.width} H{header.height} "
+                    f"F{header.fps_num}:{header.fps_den} I{header.interlacing} "
+                    f"A{header.aspect} {header.colorspace}\n"
+                )
+                frame_bytes = sum(
+                    np.ascontiguousarray(f0[p]).nbytes for p in ("y", "u", "v")
+                )
+                with NativeY4MWriter(path, header_line, frame_bytes) as w:
+                    for fr in frames:
+                        w.write_payload(np.concatenate([
+                            np.ascontiguousarray(fr[p]).view(np.uint8).ravel()
+                            for p in ("y", "u", "v")
+                        ]))
+                return
+        except Exception as e:  # correctness first: python writer always works
+            logger.debug("native y4m writer unavailable (%s); using python", e)
     with Y4MWriter(path, header) as w:
         for fr in frames:
             w.write_frame(fr)
