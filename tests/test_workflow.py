@@ -92,6 +92,51 @@ def test_combined_no_artifacts(bookend_pair, tmp_path):
     assert combined["analysis"]["vmaf_score"] > 0
 
 
+def test_combined_ten_bit(tmp_path, rng):
+    """10-bit pair end-to-end through the combined workflow: depth
+    promotion, 8-bit-scale alignment thresholds, C420p10 artifacts,
+    native-peak PSNR."""
+    n, h, w = 4, 64, 96
+    base = rng.uniform(64, 880, size=(n, h, w))
+    for _ in range(2):
+        base = (base + np.roll(base, 1, -1) + np.roll(base, -1, -1)
+                + np.roll(base, 1, -2) + np.roll(base, -1, -2)) / 5.0
+    ref_y = np.round(base).astype(np.uint16)
+    noisy = np.clip(ref_y.astype(np.int32)
+                    + rng.integers(-16, 17, ref_y.shape), 0, 1023
+                    ).astype(np.uint16)
+    white = np.full((h, w), 940, np.uint16)  # 235 << 2
+
+    def mk10(ys):
+        return [{"y": y,
+                 "u": np.full((h // 2, w // 2), 512, np.uint16),
+                 "v": np.full((h // 2, w // 2), 512, np.uint16)}
+                for y in ys]
+
+    ref_path = str(tmp_path / "ref10.y4m")
+    cap_path = str(tmp_path / "cap10.y4m")
+    write_y4m(ref_path, mk10(list(ref_y)), colorspace="C420p10")
+    write_y4m(cap_path,
+              mk10([white] * 5 + list(noisy) + [white] * 5 + list(noisy)
+                   + [white] * 5),
+              colorspace="C420p10")
+    out = run_combined_workflow(ref_path, cap_path,
+                                out_dir=str(tmp_path / "o10"))
+    assert out is not None
+    assert out["alignment"]["confidence"] > 0.5
+    assert out["analysis"]["vmaf_score"] > 50
+    # PSNR pooled on the native 10-bit peak: mild +-16-LSB noise at peak
+    # 1023 lands in the same dB range as +-4 at peak 255.
+    assert 30 < out["analysis"]["psnr_score"] < 60
+    # Aligned artifacts round-trip as 10-bit.
+    from pqa2_tpu.io.video import VideoReader
+
+    with VideoReader(out["alignment"]["aligned_captured"]) as r:
+        assert r.info.bit_depth == 10
+        fr = r.read_frame()
+        assert fr["y"].dtype == np.uint16
+
+
 def test_combined_missing_file(tmp_path):
     errors = []
     aligner = BookendAligner()
