@@ -37,6 +37,7 @@ class MainWindow(QMainWindow):
         self._setup_ui()
 
     def _setup_ui(self):
+        self._setup_menu()
         self.tabs = QTabWidget()
         self.setup_tab = SetupTab(self)
         self.capture_tab = CaptureTab(self)
@@ -55,6 +56,32 @@ class MainWindow(QMainWindow):
             self.tabs.addTab(tab, name)
         self.setCentralWidget(self.tabs)
         self.statusBar().showMessage("Ready")
+
+    def _setup_menu(self):
+        """File/Help menus (the reference exposes New Test + About)."""
+        file_menu = self.menuBar().addMenu("&File")
+        new_act = file_menu.addAction("&New Test")
+        new_act.setShortcut("Ctrl+N")
+        new_act.triggered.connect(self.start_new_test)
+        file_menu.addSeparator()
+        exit_act = file_menu.addAction("E&xit")
+        exit_act.triggered.connect(self.close)
+        help_menu = self.menuBar().addMenu("&Help")
+        about_act = help_menu.addAction("&About")
+        about_act.triggered.connect(self._show_about)
+
+    def _show_about(self):
+        from PyQt5.QtWidgets import QMessageBox
+
+        name = self.windowTitle()
+        footer = ""
+        if self.options_manager is not None:
+            footer = self.options_manager.get_setting(
+                "branding", "footer_text") or ""
+        QMessageBox.about(
+            self, f"About {name}",
+            f"{name}\nTPU-native video quality assessment\n{footer}",
+        )
 
     # -- cross-tab state -----------------------------------------------------
 
