@@ -54,8 +54,51 @@ class MainWindow(QMainWindow):
             (self.help_tab, "Help"),
         ):
             self.tabs.addTab(tab, name)
+        # Wizard navigation (reference main_window.py:137-142): Back/Next
+        # rows at the bottom of the four workflow tabs.
+        self._add_nav(self.setup_tab, None, 1)
+        self._add_nav(self.capture_tab, 0, 2)
+        self._add_nav(self.analysis_tab, 1, 3)
+        self._add_nav(self.results_tab, 2, None)
         self.setCentralWidget(self.tabs)
         self.statusBar().showMessage("Ready")
+        # Settings changes propagate live (reference main_window.py:144-152):
+        # device indicator re-checks and the theme re-applies.
+        if self.options_manager is not None:
+            from pqa2_tpu.ui.qt_bridge import bridge
+
+            self._settings_bridge = bridge(
+                self.options_manager.settings_updated,
+                self._on_settings_updated, parent=self)
+
+    def _add_nav(self, tab, prev_idx, next_idx):
+        from PyQt5.QtWidgets import QHBoxLayout, QPushButton
+
+        layout = tab.layout()
+        if layout is None:
+            return
+        row = QHBoxLayout()
+        if prev_idx is not None:
+            back = QPushButton("← Back")
+            back.clicked.connect(
+                lambda _=None, i=prev_idx: self.tabs.setCurrentIndex(i))
+            row.addWidget(back)
+        row.addStretch(1)
+        if next_idx is not None:
+            nxt = QPushButton("Next →")
+            nxt.clicked.connect(
+                lambda _=None, i=next_idx: self.tabs.setCurrentIndex(i))
+            row.addWidget(nxt)
+        layout.addLayout(row)
+
+    def _on_settings_updated(self, _settings):
+        try:
+            self.capture_tab.populate_devices_and_check_status()
+        except Exception:
+            logger.exception("device status refresh failed")
+        tm = getattr(self, "theme_manager", None)
+        if tm is not None:
+            tm.apply_current_theme()
 
     def _setup_menu(self):
         """File/Help menus (the reference exposes New Test + About)."""
