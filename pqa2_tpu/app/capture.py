@@ -20,6 +20,7 @@ import json
 import logging
 import math
 import os
+import re
 import shutil
 import signal as _signal
 import subprocess
@@ -198,6 +199,11 @@ class CaptureBackend:
     def stop(self) -> None:
         """Request a graceful stop of an in-flight capture (optional)."""
 
+    # Set by the manager: called with the captured frame count as the
+    # backend learns it (the reference's CaptureMonitor frame counter,
+    # app/capture.py:29-261 -> capture_tab.update_frame_counter).
+    frame_cb = None
+
 
 class DeckLinkBackend(CaptureBackend):
     """ffmpeg -f decklink capture (the reference's hardware path,
@@ -255,6 +261,7 @@ class DeckLinkBackend(CaptureBackend):
         # capture would stall mid-run if nobody reads. Keep only a tail
         # for the error message.
         err_tail: List[str] = []
+        frame_re = re.compile(r"frame=\s*(\d+)")
 
         def _drain():
             try:
@@ -262,6 +269,10 @@ class DeckLinkBackend(CaptureBackend):
                     err_tail.append(line)
                     if len(err_tail) > 50:
                         del err_tail[:-50]
+                    if self.frame_cb is not None:
+                        m = frame_re.search(line)
+                        if m:
+                            self.frame_cb(int(m.group(1)))
             except (OSError, ValueError):
                 pass
 
@@ -347,6 +358,8 @@ class FilePlaybackBackend(CaptureBackend):
             i += 1
             if i % 10 == 0:
                 progress_cb(min(int(100 * len(captured) / total), 99))
+                if self.frame_cb is not None:
+                    self.frame_cb(len(captured))
             if self.realtime:
                 time.sleep(1.0 / fps)
         captured += [white] * n_bookend  # closing bookend
@@ -367,6 +380,9 @@ class CaptureManager:
         self.capture_started = Signal(name="capture_started")
         self.capture_finished = Signal(bool, str, name="capture_finished")
         self.frame_available = Signal(object, name="frame_available")
+        # (captured_frames, estimated_total) — the CaptureMonitor counter
+        # channel (reference app/capture.py:29-261).
+        self.frame_count_updated = Signal(int, int, name="frame_count_updated")
 
         self.options_manager = options_manager
         self.backend = backend or FilePlaybackBackend()
@@ -450,6 +466,11 @@ class CaptureManager:
             options.update(self.options_manager.get_setting("bookend") or {})
         if self.reference_info:
             options["reference_path"] = self.reference_info.get("path")
+
+        fps_est = float(options.get("frame_rate") or 30.0)
+        total_est = int(round(duration * fps_est))
+        self.backend.frame_cb = (
+            lambda nf: self.frame_count_updated.emit(int(nf), total_est))
 
         def worker():
             self._set_state(CaptureState.CAPTURING)

@@ -37,6 +37,8 @@ class CaptureTab(QWidget):
                 bridge(cm.state_changed, self._on_state, parent=self),
                 bridge(cm.capture_finished, self._on_finished, parent=self),
                 bridge(cm.frame_available, self._on_frame, parent=self),
+                bridge(cm.frame_count_updated, self._on_frame_count,
+                       parent=self),
             ]
         # Log entries arrive on capture worker threads; the bridge queues
         # them onto the GUI thread before the pane is touched.
@@ -81,8 +83,10 @@ class CaptureTab(QWidget):
 
         self.progress = QProgressBar()
         self.state_label = QLabel("Idle")
+        self.capture_frame_label = QLabel("Frames: 0")
         layout.addWidget(self.progress)
         layout.addWidget(self.state_label)
+        layout.addWidget(self.capture_frame_label)
 
         self.log_pane = QTextEdit()
         self.log_pane.setReadOnly(True)
@@ -159,6 +163,14 @@ class CaptureTab(QWidget):
             cm.stop_capture()
         self.start_btn.setEnabled(True)
         self.stop_btn.setEnabled(False)
+
+    def _on_frame_count(self, args):
+        current, total = args
+        if total > 0:
+            self.capture_frame_label.setText(
+                f"Frames: {current:,} / {total:,}")
+        else:
+            self.capture_frame_label.setText(f"Frames: {current:,}")
 
     def _on_state(self, state):
         self.state_label.setText(str(getattr(state, "name", state)))

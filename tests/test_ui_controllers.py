@@ -215,11 +215,16 @@ def test_log_attach_to_capture_manager(tmp_path):
                             "frame_rate": 30.0})
     log = CaptureLogModel(clock=lambda: "00:00:00")
     log.attach(cm)
+    counts = []
+    cm.frame_count_updated.connect(lambda n, t: counts.append((n, t)))
     assert cm.start_bookend_capture("Fake Device")
     assert cm.wait(timeout=60)
     msgs = [e.message for e in log.entries]
     assert any("Capturing" in m for m in msgs)
     assert any(m.startswith("Capture finished successfully") for m in msgs)
+    # The CaptureMonitor counter channel fired with a sane total estimate.
+    assert counts and counts[-1][0] > 0
+    assert counts[-1][1] >= counts[-1][0] - 10
 
 
 # -- options schema -------------------------------------------------------------
