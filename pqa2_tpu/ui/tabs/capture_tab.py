@@ -17,6 +17,7 @@ from PyQt5.QtWidgets import (
 from pqa2_tpu.app.capture import CaptureState
 from pqa2_tpu.ui.controllers import (
     CaptureLogModel, PreviewModel, check_device_status, device_rows,
+    load_preview_rgb,
 )
 from pqa2_tpu.ui.qt_bridge import bridge
 
@@ -143,6 +144,26 @@ class CaptureTab(QWidget):
         ))
 
     # -- capture lifecycle -----------------------------------------------------
+
+    def showEvent(self, event):
+        """Entering the tab while idle shows the reference's first frame
+        (reference capture_tab.py:_show_reference_preview)."""
+        super().showEvent(event)
+        if self.is_capturing():
+            return
+        info = getattr(self.parent, "reference_info", None)
+        if not info or not info.get("path"):
+            return
+        rgb, status = load_preview_rgb(info["path"])
+        if rgb is None:
+            self.preview_label.setText(status)
+            return
+        h, w, _ = rgb.shape
+        img = QImage(rgb.data, w, h, 3 * w, QImage.Format_RGB888)
+        self.preview_label.setPixmap(QPixmap.fromImage(img).scaled(
+            self.preview_label.size().width() or w,
+            self.preview_label.size().height() or h,
+        ))
 
     def start_capture(self):
         cm = self.parent.capture_manager
