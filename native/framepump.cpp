@@ -313,6 +313,14 @@ int fw_close(void* handle) {
     p->cv_producer.wait(lk, [&] { return p->error || p->written == p->queued; });
   }
   int rc = p->error ? -1 : 0;
+  // stdio buffering: the tail of the file may still live in the FILE*
+  // buffer — a failed flush/close (ENOSPC) must surface, not silently
+  // truncate the artifact.
+  if (p->f) {
+    if (fflush(p->f) != 0) rc = -1;
+    if (fclose(p->f) != 0) rc = -1;
+    p->f = nullptr;
+  }
   delete p;
   return rc;
 }

@@ -106,16 +106,18 @@ class BookendDetector:
     def __init__(self, config: Optional[BookendConfig] = None):
         self.config = config or BookendConfig()
 
-    def detect(self, luma: np.ndarray, fps: float = 30.0,
+    def detect(self, luma: Optional[np.ndarray], fps: float = 30.0,
                stats=None) -> List[Bookend]:
         """(N, H, W) luma -> bookend list (>= 2 entries unless fallback off).
 
         ``stats``: optionally the precomputed frame_luma_stats dict (the
-        combined alignment pass shares one stats+thumbnails device trip)."""
+        combined alignment pass shares one stats+thumbnails device trip).
+        With stats given, ``luma`` may be None — detection is stats-only
+        (the streamed alignment path never materialises the clip)."""
         cfg = self.config
-        n = luma.shape[0]
         if stats is None:
             stats = frame_luma_stats(luma)
+        n = luma.shape[0] if luma is not None else stats["mean"].shape[0]
         mean, std = stats["mean"], stats["std"]
 
         min_white = cfg.min_white_frames

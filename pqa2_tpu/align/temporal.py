@@ -168,8 +168,30 @@ def align_bookend_clips(
     from pqa2_tpu.align.stats import stats_and_thumbs
 
     cap_stats, cap_thumbs = stats_and_thumbs(cap_luma)
+    return align_from_signals(
+        n_ref, n_cap, cap_stats, cap_thumbs,
+        lambda: thumb_series(ref_luma),
+        fps=fps, config=cfg, refine=refine,
+    )
+
+
+def align_from_signals(
+    n_ref: int,
+    n_cap: int,
+    cap_stats,
+    cap_thumbs: np.ndarray,
+    ref_thumbs_fn,
+    fps: float = 30.0,
+    config: Optional[BookendConfig] = None,
+    refine: bool = True,
+) -> AlignmentResult:
+    """Alignment from precomputed per-frame signals (stats + thumbnails) —
+    the core shared by the in-memory path and the streamed path
+    (align/streamed.py), which never materialises the clips.
+    ``ref_thumbs_fn`` is called lazily, only when xcorr refinement runs."""
+    cfg = config or BookendConfig()
     detector = BookendDetector(cfg)
-    bookends = detector.detect(cap_luma, fps, stats=cap_stats)
+    bookends = detector.detect(None, fps, stats=cap_stats)
     if len(bookends) < 2:
         raise ValueError("failed to detect at least two white bookend sections")
     is_fallback = any(b.is_fallback for b in bookends)
@@ -192,8 +214,8 @@ def align_bookend_clips(
     confidence = 0.95  # bookend method baseline (bookend_alignment.py:444)
     offset_delta = 0
     if refine and not is_fallback:
-        ref_series = thumb_series(ref_luma)
-        cap_series = cap_thumbs  # from the packed stats pass above
+        ref_series = ref_thumbs_fn()
+        cap_series = cap_thumbs  # from the packed stats pass
         n_cmp = min(n_ref, content_stop - content_start)
         offset_delta, corr = refine_offset_xcorr(
             ref_series[:n_cmp], cap_series, content_start

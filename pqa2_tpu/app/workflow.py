@@ -58,14 +58,69 @@ def _estimated_decoded_bytes(*paths) -> Optional[int]:
 
 def _run_two_pass(reference_path, captured_path, *, aligner, analyzer,
                   model, duration, t_start):
-    """Align-to-disk + streaming-score fallback for oversized inputs.
-    Same result shape as the in-memory path."""
-    alignment = aligner.align_bookend_videos(reference_path, captured_path)
-    if alignment is None:
+    """Bounded-memory fallback for oversized inputs: streamed alignment
+    (align/streamed.py — one chunk resident at a time), frame-by-frame trim
+    writes, then the streaming analyzer. Same result shape as the
+    in-memory path; peak host memory is ~one chunk regardless of length."""
+    import dataclasses
+
+    from pqa2_tpu.align.streamed import streamed_align, write_trim
+    from pqa2_tpu.app.bookend_aligner import AlignmentState
+
+    aligner.state = AlignmentState.RUNNING
+    try:
+        aligner.status_update.emit(
+            "Starting white bookend alignment process (streamed)...")
+        aligner.alignment_progress.emit(10)
+        result, ref_info, cap_info = streamed_align(
+            reference_path, captured_path, config=aligner._config())
+        aligner.alignment_progress.emit(60)
+        aligner.status_update.emit("Creating aligned videos...")
+
+        r0, r1 = result.ref_range
+        c0, c1 = result.cap_range
+        if duration:
+            cap_n = int(round(duration * (cap_info.frame_rate or 30.0)))
+            r1 = min(r1, r0 + cap_n)
+            c1 = min(c1, c0 + cap_n)
+        base_dir = os.path.dirname(captured_path) or "."
+        base = os.path.splitext(os.path.basename(captured_path))[0]
+        aligned_ref = os.path.join(base_dir, f"{base}_ref_aligned.y4m")
+        aligned_cap = os.path.join(base_dir, f"{base}_aligned.y4m")
+        fps_pair = (int(round((ref_info.frame_rate or 30.0) * 1000)), 1000)
+        write_trim(reference_path, aligned_ref, r0, r1, fps=fps_pair)
+        write_trim(captured_path, aligned_cap, c0, c1, fps=fps_pair)
+
+        alignment = {
+            "alignment_method": "bookend",
+            "offset_frames": result.offset_frames,
+            "offset_seconds": result.offset_seconds,
+            "confidence": result.confidence,
+            "aligned_reference": aligned_ref,
+            "aligned_captured": aligned_cap,
+            "bookend_info": {
+                "first_bookend": dataclasses.asdict(result.bookends[0]),
+                "last_bookend": dataclasses.asdict(result.bookends[-1]),
+                "content_duration": result.content_duration,
+                "motion_compensated": False,
+            },
+            "ref_range": [r0, r1],
+            "cap_range": [c0, c1],
+            "is_fallback": result.is_fallback,
+        }
+        aligner.state = AlignmentState.COMPLETE
+        aligner.alignment_progress.emit(100)
+        aligner.status_update.emit("White bookend alignment complete!")
+        aligner.alignment_complete.emit(alignment)
+    except Exception as e:
+        aligner.state = AlignmentState.ERROR
+        logger.exception("streamed alignment failed")
+        aligner.error_occurred.emit(f"Error in bookend alignment: {e}")
         return None
+
     analysis = analyzer.analyze_videos(
         alignment["aligned_reference"], alignment["aligned_captured"],
-        model=model, duration=duration,
+        model=model,
     )
     if analysis is None:
         return None

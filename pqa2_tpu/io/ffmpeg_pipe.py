@@ -173,12 +173,21 @@ class FFmpegPipeReader:
         self._ch = (self.height + 1) // 2
         self._frame_bytes = itemsize * (
             self.width * self.height + 2 * self._cw * self._ch)
-        self._proc = subprocess.Popen(
-            [ff, "-v", "error", "-nostdin", "-i", self.path,
-             "-map", "0:v:0", "-f", "rawvideo", "-pix_fmt", self._pix_fmt,
-             "pipe:1"],
-            stdout=subprocess.PIPE, stderr=subprocess.PIPE,
-        )
+        # The decode child spawns LAZILY on the first read: constructing a
+        # reader just for .info (workflow size probes, probe_video) must not
+        # launch a whole-file rawvideo decode.
+        self._ff = ff
+        self._proc = None
+
+    def _ensure_proc(self):
+        if self._proc is None:
+            self._proc = subprocess.Popen(
+                [self._ff, "-v", "error", "-nostdin", "-i", self.path,
+                 "-map", "0:v:0", "-f", "rawvideo", "-pix_fmt",
+                 self._pix_fmt, "pipe:1"],
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            )
+        return self._proc
 
     # VideoReader-compatible surface -----------------------------------
     @property
@@ -195,7 +204,7 @@ class FFmpegPipeReader:
         )
 
     def read_frame(self) -> Optional[Dict[str, np.ndarray]]:
-        buf = self._proc.stdout.read(self._frame_bytes)
+        buf = self._ensure_proc().stdout.read(self._frame_bytes)
         if not buf:
             self._check_child()
             return None

@@ -151,6 +151,16 @@ class Y4MReader:
             yield fr
 
 
+def header_line(header: Y4MHeader) -> str:
+    """The stream header line — one definition shared by the Python writer
+    and the native write pump (byte-identical output contract)."""
+    return (
+        f"YUV4MPEG2 W{header.width} H{header.height} "
+        f"F{header.fps_num}:{header.fps_den} I{header.interlacing} "
+        f"A{header.aspect} {header.colorspace}\n"
+    )
+
+
 class Y4MWriter:
     def __init__(self, path_or_file, header: Y4MHeader):
         if isinstance(path_or_file, (str, os.PathLike)):
@@ -160,12 +170,7 @@ class Y4MWriter:
             self._f = path_or_file
             self._owns = False
         self.header = header
-        tags = (
-            f"YUV4MPEG2 W{header.width} H{header.height} "
-            f"F{header.fps_num}:{header.fps_den} I{header.interlacing} "
-            f"A{header.aspect} {header.colorspace}\n"
-        )
-        self._f.write(tags.encode("ascii"))
+        self._f.write(header_line(header).encode("ascii"))
 
     def __enter__(self):
         return self
@@ -202,27 +207,29 @@ def write_y4m(path, frames, fps=(30, 1), colorspace="C420mpeg2") -> None:
         colorspace=colorspace,
     )
     if isinstance(path, (str, os.PathLike)):
+        w = None
         try:
+            # Only AVAILABILITY/construction falls back silently; a genuine
+            # mid-write failure (disk full) must propagate, not be retried
+            # by the Python writer under an "unavailable" debug line.
             from pqa2_tpu.io.native import NativeY4MWriter, is_available
 
             if is_available():
-                header_line = (
-                    f"YUV4MPEG2 W{header.width} H{header.height} "
-                    f"F{header.fps_num}:{header.fps_den} I{header.interlacing} "
-                    f"A{header.aspect} {header.colorspace}\n"
-                )
                 frame_bytes = sum(
                     np.ascontiguousarray(f0[p]).nbytes for p in ("y", "u", "v")
                 )
-                with NativeY4MWriter(path, header_line, frame_bytes) as w:
-                    for fr in frames:
-                        w.write_payload(np.concatenate([
-                            np.ascontiguousarray(fr[p]).view(np.uint8).ravel()
-                            for p in ("y", "u", "v")
-                        ]))
-                return
-        except Exception as e:  # correctness first: python writer always works
+                w = NativeY4MWriter(path, header_line(header), frame_bytes)
+        except Exception as e:
             logger.debug("native y4m writer unavailable (%s); using python", e)
+            w = None
+        if w is not None:
+            with w:
+                for fr in frames:
+                    w.write_payload(np.concatenate([
+                        np.ascontiguousarray(fr[p]).view(np.uint8).ravel()
+                        for p in ("y", "u", "v")
+                    ]))
+            return
     with Y4MWriter(path, header) as w:
         for fr in frames:
             w.write_frame(fr)

@@ -41,8 +41,12 @@ def main() -> int:
     from pqa2_tpu.ui.theme_manager import ThemeManager
 
     app = QApplication(sys.argv)
-    ThemeManager(app, options_manager).apply_current_theme()
+    theme = ThemeManager(app, options_manager)
+    theme.apply_current_theme()
     window = MainWindow(capture_manager, file_manager, options_manager)
+    # Attached so settings saves re-apply the theme live
+    # (MainWindow._on_settings_updated).
+    window.theme_manager = theme
     window.show()
     return app.exec_()
 

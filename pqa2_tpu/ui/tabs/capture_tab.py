@@ -147,17 +147,27 @@ class CaptureTab(QWidget):
 
     def showEvent(self, event):
         """Entering the tab while idle shows the reference's first frame
-        (reference capture_tab.py:_show_reference_preview)."""
+        (reference capture_tab.py:_show_reference_preview). The decoded
+        frame is cached per path — tab switches must not re-open/decode
+        the file on the GUI thread every time."""
         super().showEvent(event)
         if self.is_capturing():
             return
         info = getattr(self.parent, "reference_info", None)
         if not info or not info.get("path"):
             return
-        rgb, status = load_preview_rgb(info["path"])
-        if rgb is None:
-            self.preview_label.setText(status)
-            return
+        path = info["path"]
+        cached = getattr(self, "_ref_preview_cache", None)
+        if cached is not None and cached[0] == path:
+            rgb = cached[1]
+            if rgb is None:
+                return
+        else:
+            rgb, status = load_preview_rgb(path)
+            self._ref_preview_cache = (path, rgb)
+            if rgb is None:
+                self.preview_label.setText(status)
+                return
         h, w, _ = rgb.shape
         img = QImage(rgb.data, w, h, 3 * w, QImage.Format_RGB888)
         self.preview_label.setPixmap(QPixmap.fromImage(img).scaled(
