@@ -167,15 +167,18 @@ def bench_config_with_metrics(name, model_name, n, h, w, iters=4, log=print):
     return fps
 
 
-def parity_check(log, n=8, h=1080, w=1920):
+def parity_check(log, n=4, h=544, w=960):
     """Pallas-vs-XLA VMAF parity ON the live backend (VERDICT round-1 item 3).
 
     On TPU this exercises the Mosaic-compiled kernels against the pure-XLA
     path on identical inputs — the one place the real-chip numerics are
-    asserted (the CPU test suite only runs Pallas in interpret mode).
-    Also records the integer-vs-float feature-family delta on the same
-    inputs. Returns a dict with parity_max_delta (pallas vs xla) and
-    int_float_delta; parity_ok is False above the 0.01 budget."""
+    asserted (the CPU test suite only runs Pallas in interpret mode). Four
+    programs: {pallas,xla} x {float,integer}. Asserts f32 pallas-vs-xla
+    within the 0.01 budget AND the integer Pallas kernels bit-matching
+    their XLA twins on silicon (int_pallas_vs_xla — VERDICT round-2 item
+    4); also records the integer-vs-float family delta. Shapes are kept
+    small (one tunnel-cold Mosaic compile each) so the driver's bench
+    budget survives — the throughput numbers come from the 4K configs."""
     import jax
     import jax.numpy as jnp
 
@@ -209,13 +212,16 @@ def parity_check(log, n=8, h=1080, w=1920):
 
     s_pallas = scores_for("pallas", "float")
     s_xla = scores_for("xla", "float")
-    s_int = scores_for(None, "integer")
+    s_int_pallas = scores_for("pallas", "integer")
+    s_int_xla = scores_for("xla", "integer")
     parity = float(np.max(np.abs(s_pallas - s_xla)))
-    int_float = float(np.max(np.abs(s_int - s_xla)))
+    int_parity = float(np.max(np.abs(s_int_pallas - s_int_xla)))
+    int_float = float(np.max(np.abs(s_int_xla - s_xla)))
     out = {
         "parity_max_delta": round(parity, 6),
+        "int_pallas_vs_xla": round(int_parity, 9),
         "int_float_delta": round(int_float, 6),
-        "parity_ok": parity <= 0.01,
+        "parity_ok": parity <= 0.01 and int_parity <= 1e-5,
         "shape": f"{n}x{h}x{w}",
     }
     log(f"[bench] parity: {out}")
@@ -324,10 +330,16 @@ def bench_full(log):
         "4k vmaf_4k_v0.6.1", "vmaf_4k_v0.6.1", 32, 2160, 3840, log=log)
     try:
         results["uhd_integer_fps"] = bench_config(
-            "4k integer path", "vmaf_4k_v0.6.1", 32, 2160, 3840, log=log,
-            precision="integer")
+            "4k integer path (exact LUT)", "vmaf_4k_v0.6.1", 32, 2160, 3840,
+            log=log, precision="integer")
     except Exception as e:
         log(f"[bench] integer-path 4k failed: {e}")
+    try:
+        results["uhd_integer_fast_fps"] = bench_config(
+            "4k integer_fast path", "vmaf_4k_v0.6.1", 32, 2160, 3840,
+            log=log, precision="integer_fast")
+    except Exception as e:
+        log(f"[bench] integer_fast-path 4k failed: {e}")
 
     results["parity"] = parity_check(log)
 
@@ -445,11 +457,58 @@ def main():
 
     small = platform == "cpu"  # CI/dev fallback; real numbers need the TPU
     fps_hd = fps_4k = fps_4k_int = None
+    parity = None
     note = ""
+
+    def emit(stage):
+        """Print the full JSON result line with everything measured so far.
+
+        The driver records the LAST parseable stdout line and kills bench
+        runs that exceed its budget — so the headline line goes out the
+        moment the first 4K number exists, and every later stage re-emits
+        an enriched line (round-2 lesson: one print at the very end lost
+        the whole result to a timeout, BENCH_r02.json rc:124)."""
+        val = fps_4k
+        stage_note = note
+        if val is None and fps_hd is not None:
+            val = fps_hd / 4.0  # pixel-count extrapolation, flagged
+            stage_note = (stage_note + "; " if stage_note else "") + \
+                "4k estimated from 1080p/4"
+        out = {
+            "metric": "vmaf_4k_fps_per_chip",
+            "value": round(val, 2) if val else 0.0,
+            "unit": "frames/sec",
+            "vs_baseline": round((val or 0.0) / BASELINE_4K_FPS, 2),
+            "vmaf_1080p_fps": round(fps_hd, 2) if fps_hd else None,
+            "vmaf_4k_integer_fps": round(fps_4k_int, 2) if fps_4k_int else None,
+            "backend": platform,
+            "target_fps": 60.0,
+            "stage": stage,
+        }
+        if parity is not None:
+            out["parity"] = parity
+            if parity.get("parity_ok") is False:
+                stage_note = (stage_note + "; " if stage_note else "") + (
+                    f"PARITY FAIL: deltas {parity.get('parity_max_delta')}"
+                    f"/{parity.get('int_pallas_vs_xla')}")
+        if small:
+            stage_note = (stage_note + "; " if stage_note else "") + (
+                "cpu backend, reduced shapes — numbers not meaningful")
+        if stage_note:
+            out["note"] = stage_note
+        print(json.dumps(out), flush=True)
+
     if small:
         log("[bench] WARNING: cpu backend — reduced shapes, numbers not meaningful")
         fps_hd = bench_config("1080p vmaf_v0.6.1", "vmaf_v0.6.1", 4, 270, 480, log=log)
         fps_4k = bench_config("4k vmaf_4k_v0.6.1", "vmaf_4k_v0.6.1", 2, 540, 960, log=log)
+        emit("cpu")
+        try:
+            parity = parity_check(log)
+        except Exception as e:
+            parity = {"error": str(e)}
+            log(f"[bench] parity check failed: {e}")
+        emit("final")
     else:
 
         def with_retry(fn, *a, **kw):
@@ -476,6 +535,7 @@ def main():
                 fps_4k = with_retry(
                     bench_config, "4k vmaf_4k_v0.6.1", "vmaf_4k_v0.6.1",
                     n_4k, 2160, 3840, log=log)
+            emit("4k_f32")  # headline is on the wire from here on
             if fps_4k < 50.0:
                 # The tunnel has post-wedge recovery windows that run 5-50x
                 # slow; a healthy chip measures ~120 fps here. One rest+retry
@@ -488,6 +548,7 @@ def main():
                     fps_4k = max(fps_4k, bench_config(
                         "4k vmaf_4k_v0.6.1 (retry)", "vmaf_4k_v0.6.1",
                         n_4k, 2160, 3840, log=log))
+                    emit("4k_f32_retry")
                 except Exception as e:
                     log(f"[bench] retry failed ({e}); keeping "
                         f"{fps_4k:.1f} fps")
@@ -495,53 +556,27 @@ def main():
             note = f"4k failed: {e}"
             log(f"[bench] {note}")
         try:
+            fps_4k_int = bench_config(
+                "4k integer path", "vmaf_4k_v0.6.1", n_4k, 2160, 3840,
+                log=log, precision="integer")
+            emit("4k_integer")
+        except Exception as e:
+            log(f"[bench] integer-path 4k failed: {e}")
+        try:
+            parity = parity_check(log)
+            emit("parity")
+        except Exception as e:
+            parity = {"error": str(e)}
+            log(f"[bench] parity check failed: {e}")
+        try:
             fps_hd = with_retry(
                 bench_config, "1080p vmaf_v0.6.1", "vmaf_v0.6.1",
                 32, 1080, 1920, log=log)
         except Exception as e:
             log(f"[bench] 1080p failed: {e}")
-        fps_4k_int = None
-        try:
-            fps_4k_int = bench_config(
-                "4k integer path", "vmaf_4k_v0.6.1", n_4k, 2160, 3840,
-                log=log, precision="integer")
-        except Exception as e:
-            log(f"[bench] integer-path 4k failed: {e}")
-        if fps_4k is None and fps_hd is not None:
-            fps_4k = fps_hd / 4.0  # pixel-count extrapolation, flagged below
-            note = (note + "; " if note else "") + "4k estimated from 1080p/4"
-        if fps_4k is None:
-            fps_4k = 0.0
-            fps_hd = fps_hd or 0.0
+        if fps_4k is None and fps_hd is None:
             note = (note + "; " if note else "") + "device unavailable"
-
-    try:
-        parity = parity_check(log)
-    except Exception as e:
-        parity = {"error": str(e)}
-        log(f"[bench] parity check failed: {e}")
-
-    out = {
-        "metric": "vmaf_4k_fps_per_chip",
-        "value": round(fps_4k, 2),
-        "unit": "frames/sec",
-        "vs_baseline": round(fps_4k / BASELINE_4K_FPS, 2),
-        "vmaf_1080p_fps": round(fps_hd, 2) if fps_hd else None,
-        "vmaf_4k_integer_fps": round(fps_4k_int, 2) if fps_4k_int else None,
-        "backend": platform,
-        "target_fps": 60.0,
-        "parity": parity,
-    }
-    if parity.get("parity_ok") is False:
-        note = (note + "; " if note else "") + (
-            f"PARITY FAIL: pallas-vs-xla delta "
-            f"{parity.get('parity_max_delta')} > 0.01")
-    if small:
-        note = (note + "; " if note else "") + (
-            "cpu backend, reduced shapes — numbers not meaningful")
-    if note:
-        out["note"] = note
-    print(json.dumps(out))
+        emit("final")
 
 
 if __name__ == "__main__":
