@@ -15,6 +15,7 @@ without a card — the test double the reference's fallback tables imply
 
 from __future__ import annotations
 
+import contextlib
 import enum
 import json
 import logging
@@ -55,6 +56,28 @@ _DEFAULT_REGISTRY = os.path.join(
 )
 
 
+@contextlib.contextmanager
+def _registry_lock(path: str):
+    """Serialise read-modify-write cycles on the registry across processes.
+
+    Without it a sweep racing another process's register can overwrite and
+    drop the fresh pid entry, leaving that child unsweepable after a crash
+    (ADVICE round-2). flock on a sidecar .lock file; on platforms without
+    fcntl the lock degrades to a no-op (single-user Windows desktops — the
+    reference app's own domain — run one capture at a time anyway)."""
+    try:
+        import fcntl
+    except ImportError:  # non-POSIX fallback
+        yield
+        return
+    with open(f"{path}.lock", "a+") as lockf:
+        fcntl.flock(lockf.fileno(), fcntl.LOCK_EX)
+        try:
+            yield
+        finally:
+            fcntl.flock(lockf.fileno(), fcntl.LOCK_UN)
+
+
 def _read_registry(path: str) -> List[Dict]:
     try:
         with open(path) as f:
@@ -81,16 +104,18 @@ def _live_cmdline(pid: int) -> Optional[List[str]]:
 
 def register_capture_pid(pid: int, cmd: List[str],
                          registry_path: str = _DEFAULT_REGISTRY) -> None:
-    entries = _read_registry(registry_path)
-    entries.append({"pid": int(pid), "cmd": list(map(str, cmd))})
-    _write_registry(registry_path, entries)
+    with _registry_lock(registry_path):
+        entries = _read_registry(registry_path)
+        entries.append({"pid": int(pid), "cmd": list(map(str, cmd))})
+        _write_registry(registry_path, entries)
 
 
 def unregister_capture_pid(pid: int,
                            registry_path: str = _DEFAULT_REGISTRY) -> None:
-    entries = [e for e in _read_registry(registry_path)
-               if e.get("pid") != int(pid)]
-    _write_registry(registry_path, entries)
+    with _registry_lock(registry_path):
+        entries = [e for e in _read_registry(registry_path)
+                   if e.get("pid") != int(pid)]
+        _write_registry(registry_path, entries)
 
 
 def sweep_lingering_captures(registry_path: str = _DEFAULT_REGISTRY,
@@ -99,6 +124,11 @@ def sweep_lingering_captures(registry_path: str = _DEFAULT_REGISTRY,
     hygiene, reference app/capture.py:412-454). Only pids we registered AND
     whose current cmdline equals the recorded one are touched (a recycled
     pid never matches). Returns the number of processes stopped."""
+    with _registry_lock(registry_path):
+        return _sweep_locked(registry_path, kill_wait)
+
+
+def _sweep_locked(registry_path: str, kill_wait: float) -> int:
     entries = _read_registry(registry_path)
     if not entries:
         return 0

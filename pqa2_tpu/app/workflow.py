@@ -77,11 +77,22 @@ def _run_two_pass(reference_path, captured_path, *, aligner, analyzer,
         aligner.alignment_progress.emit(60)
         aligner.status_update.emit("Creating aligned videos...")
 
+        if aligner._motion_compensation_enabled():
+            # The streamed path never holds both windows in memory, so
+            # per-frame shift estimation is unavailable (ADVICE round-2:
+            # say so instead of silently skipping).
+            msg = ("Motion compensation is enabled but unavailable on the "
+                   "streamed (oversized-input) path; proceeding without it.")
+            logger.warning(msg)
+            aligner.status_update.emit(msg)
         r0, r1 = result.ref_range
         c0, c1 = result.cap_range
         if duration:
+            # Per-clip frame rates: when ref and capture rates differ the
+            # same wall-clock cap covers different frame counts.
+            ref_n = int(round(duration * (ref_info.frame_rate or 30.0)))
             cap_n = int(round(duration * (cap_info.frame_rate or 30.0)))
-            r1 = min(r1, r0 + cap_n)
+            r1 = min(r1, r0 + ref_n)
             c1 = min(c1, c0 + cap_n)
         base_dir = os.path.dirname(captured_path) or "."
         base = os.path.splitext(os.path.basename(captured_path))[0]
@@ -124,6 +135,16 @@ def _run_two_pass(reference_path, captured_path, *, aligner, analyzer,
     )
     if analysis is None:
         return None
+
+    if aligner.delete_capture_after_alignment:
+        # Parity with the in-memory branch (and the reference,
+        # app/bookend_alignment.py:1267-1289): the original capture is
+        # deleted once the aligned artifacts exist.
+        try:
+            os.remove(captured_path)
+        except OSError as e:
+            logger.warning("could not delete capture: %s", e)
+
     return {
         "alignment": alignment,
         "analysis": analysis,
@@ -237,8 +258,12 @@ def run_combined_workflow(
         if duration:
             # Analysis-duration cap (the reference passes the setup tab's
             # duration through to the analyzer, analysis_tab.py:612).
+            # Per-clip frame rates: when the reference and capture rates
+            # differ, the same wall-clock span covers different frame
+            # counts (ADVICE round-2).
+            ref_n = int(round(duration * (ref_info.frame_rate or 30.0)))
             cap_n = int(round(duration * (cap_info.frame_rate or 30.0)))
-            r1 = min(r1, r0 + cap_n)
+            r1 = min(r1, r0 + ref_n)
             c1 = min(c1, c0 + cap_n)
         ref_window = ref_frames[r0:r1]
         cap_window = cap_frames[c0:c1]

@@ -117,9 +117,22 @@ def probe_stream(path: str, ffprobe: Optional[str] = None,
                          capture_output=True, text=True, timeout=timeout,
                          check=False)
     text = out.stderr
-    m = re.search(
-        r"Video:\s*(\w+).*?,\s*(\w+)[^,]*,\s*(\d+)x(\d+).*?([\d.]+)\s*fps",
-        text, re.DOTALL)
+    # Strip parenthesized stream metadata before matching: lines like
+    # "Video: h264 (High) (avc1 / ...), yuv420p10le(tv, bt2020nc, ...)"
+    # would otherwise let the pix_fmt capture land on "bt2020nc" and a
+    # 10-bit source silently decode as 8-bit (ADVICE round-2).
+    line_m = re.search(r"Video:[^\n]*", text)
+    m = None
+    if line_m:
+        clean = re.sub(r"\([^()]*\)", " ", line_m.group(0))
+        m = re.search(
+            r"Video:\s*(\w+)\s*,\s*([A-Za-z]\w*)\s*,?\s*(\d+)x(\d+)"
+            r".*?([\d.]+)\s*fps",
+            clean)
+    if not m:  # lenient fallback (original pattern) for exotic layouts
+        m = re.search(
+            r"Video:\s*(\w+).*?,\s*(\w+)[^,]*,\s*(\d+)x(\d+).*?([\d.]+)\s*fps",
+            text, re.DOTALL)
     if not m:
         raise IOError(f"cannot probe video stream in {path!r}")
     codec, pix_fmt, w, h, fps = m.groups()
@@ -187,6 +200,33 @@ class FFmpegPipeReader:
                  self._pix_fmt, "pipe:1"],
                 stdout=subprocess.PIPE, stderr=subprocess.PIPE,
             )
+            # Drain stderr on a background thread, keeping only a bounded
+            # tail for error reporting. A corrupt source can make ffmpeg
+            # emit more error text than the pipe buffer holds; without a
+            # drain ffmpeg blocks on stderr, stdout stalls, and
+            # read_frame() hangs forever (ADVICE round-2; same failure
+            # mode DeckLinkBackend.capture drains in app/capture.py).
+            import collections
+            import threading
+
+            self._stderr_tail = collections.deque(maxlen=64)
+
+            def _drain(pipe, tail):
+                try:
+                    for raw in iter(pipe.readline, b""):
+                        tail.append(raw)
+                except Exception:
+                    pass
+                finally:
+                    try:
+                        pipe.close()
+                    except Exception:
+                        pass
+
+            self._stderr_thread = threading.Thread(
+                target=_drain, args=(self._proc.stderr, self._stderr_tail),
+                daemon=True)
+            self._stderr_thread.start()
         return self._proc
 
     # VideoReader-compatible surface -----------------------------------
@@ -224,11 +264,10 @@ class FFmpegPipeReader:
     def _check_child(self):
         rc = self._proc.poll()
         if rc not in (None, 0):
-            err = b""
-            try:
-                err = self._proc.stderr.read() or b""
-            except Exception:
-                pass
+            t = getattr(self, "_stderr_thread", None)
+            if t is not None:
+                t.join(timeout=2)  # let the drain collect the final lines
+            err = b"".join(getattr(self, "_stderr_tail", []) or [])
             raise IOError(
                 f"ffmpeg pipe decoder exited rc={rc} for {self.path!r}: "
                 f"{err.decode(errors='replace')[-400:]}")
