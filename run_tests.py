@@ -49,6 +49,15 @@ def run_tests(extra_args=None) -> int:
     if missing:
         print(f"missing required dependencies: {missing}", file=sys.stderr)
 
+    extra_args = list(extra_args or [])
+    quick = "--quick" in extra_args
+    if quick:
+        # Fast tier: the `smoke` cross-section (anchors, integer
+        # bit-exactness, one E2E analyzer run, controllers, model loader)
+        # — suite health on 1-CPU hosts without the full ~5-20 min run.
+        extra_args = [a for a in extra_args if a != "--quick"]
+        extra_args += ["-m", "smoke"]
+
     t0 = time.time()
     cmd = [sys.executable, "-m", "pytest", "tests/", "-q",
            f"--junitxml={json_tmp}.xml"]
@@ -62,6 +71,7 @@ def run_tests(extra_args=None) -> int:
         "elapsed_seconds": round(elapsed, 2),
         "exit_code": proc.returncode,
         "passed": proc.returncode == 0,
+        "tier": "smoke" if quick else "full",
         "dependencies": deps,
         "junit_xml": f"{json_tmp}.xml",
     }

@@ -52,6 +52,7 @@ def test_identity_clips_at_100(chain, precision):
     np.testing.assert_allclose(s.vmaf, 100.0, atol=1e-6)
 
 
+@pytest.mark.smoke
 def test_near_transparent_band(chain):
     """A mild capture chain scores in the high-99s — the band the
     reference's real libvmaf runs put such chains in (99.563/99.591) —

@@ -97,6 +97,7 @@ def test_validate_application_state(tmp_path):
     assert checks["jax_devices"]
 
 
+@pytest.mark.smoke
 def test_vmaf_analyzer_end_to_end(clip_pair, tmp_path):
     ref_path, dist_path = clip_pair
     analyzer = VMAFAnalyzer()

@@ -43,6 +43,7 @@ def test_q16_tables():
     assert np.array_equal(MOTION_FILTER_Q16, VIF_FILTERS_Q16[2])
 
 
+@pytest.mark.smoke
 def test_vif_sigma_planes_bit_exact(rng):
     from pqa2_tpu.golden.vif_int import _decimate, sigma_planes_int
     from pqa2_tpu.ops.vif_int import _decimate2, _sigma_planes
@@ -100,6 +101,7 @@ def test_vif_int_vs_float_delta_pinned(rng):
     assert np.all(np.array(ii) > 1.0 - 1e-5)
 
 
+@pytest.mark.smoke
 def test_adm_int_bit_exact_and_identity(rng):
     from pqa2_tpu.golden.adm_int import decouple_int, dwt_pyramid_int
     from pqa2_tpu.ops.adm_int import (

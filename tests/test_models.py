@@ -12,6 +12,9 @@ from pqa2_tpu.models.loader import (
 )
 
 
+pytestmark = pytest.mark.smoke  # fast tier (run_tests.py --quick)
+
+
 def test_registry_lists_all_models():
     names = available_models()
     for expected in [

@@ -9,6 +9,9 @@ from pqa2_tpu.models.loader import BootstrapModel
 from pqa2_tpu.models.svr import BootstrapPredictor, ScorePredictor
 
 
+pytestmark = pytest.mark.smoke  # fast tier (run_tests.py --quick)
+
+
 def numpy_predict(model, features):
     """Direct float64 reference of the prediction chain."""
     x = features * model.slopes[1:] + model.intercepts[1:]
