@@ -71,9 +71,18 @@ def dwt2_db2_int(x: np.ndarray, extra_row_shift: int = 0):
     }
 
 
-def dwt_pyramid_int(x: np.ndarray) -> List[Dict[str, np.ndarray]]:
-    """uint8 luma -> 4 levels of integer bands on the ADM_BAND_Q schedule."""
-    cur = x.astype(_I64) << _I64(ADM_BAND_Q[0])  # pixels to Q4
+def dwt_pyramid_int(
+    x: np.ndarray, bit_depth: int = 8
+) -> List[Dict[str, np.ndarray]]:
+    """Luma -> 4 levels of integer bands on the ADM_BAND_Q schedule.
+
+    >8-bit codes carry their extra bits as fixed-point fraction: the
+    initial shift narrows to ADM_BAND_Q[0] - (depth-8) so level 0 still
+    enters at Q4 on the 8-bit pixel scale (12-bit = shift 0 is the
+    headroom bound; deeper sources are pre-rounded by the caller)."""
+    in_q = max(min(bit_depth, 12) - 8, 0)
+    assert in_q <= ADM_BAND_Q[0], bit_depth
+    cur = x.astype(_I64) << _I64(ADM_BAND_Q[0] - in_q)  # to Q4 pixels
     out = []
     for lvl in range(NUM_LEVELS):
         drop = ADM_BAND_Q[lvl - 1] - ADM_BAND_Q[lvl] if lvl else 0
@@ -129,11 +138,12 @@ def decouple_int(
 
 
 def adm_features_int(
-    ref: np.ndarray, dist: np.ndarray, gain_limit: float = 100.0
+    ref: np.ndarray, dist: np.ndarray, gain_limit: float = 100.0,
+    bit_depth: int = 8,
 ) -> Tuple[float, List[float], float, float]:
-    """uint8 luma pair -> (adm2, [level scores], num, den), integer path."""
-    ref_pyr = dwt_pyramid_int(np.asarray(ref))
-    dist_pyr = dwt_pyramid_int(np.asarray(dist))
+    """Luma pair -> (adm2, [level scores], num, den), integer path."""
+    ref_pyr = dwt_pyramid_int(np.asarray(ref), bit_depth)
+    dist_pyr = dwt_pyramid_int(np.asarray(dist), bit_depth)
     h, w = np.asarray(ref).shape
     num = den = 0.0
     level_scores = []

@@ -26,16 +26,23 @@ from pqa2_tpu.golden.vif_int import _filt_h, _filt_v
 _U64 = np.uint64
 
 
-def blur_int(frame: np.ndarray) -> np.ndarray:
-    """(H, W) uint8 luma -> Q8 blurred plane (uint64)."""
-    tmp = _filt_v(frame.astype(_U64), MOTION_FILTER_Q16, 8)
+def blur_int(frame: np.ndarray, in_q: int = 0) -> np.ndarray:
+    """(H, W) luma (Q{in_q} pixel codes) -> Q8 blurred plane (uint64)."""
+    tmp = _filt_v(frame.astype(_U64), MOTION_FILTER_Q16, 8 + in_q)
     return _filt_h(tmp, MOTION_FILTER_Q16, 16)
 
 
-def motion_features_int(frames: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
-    """(N, H, W) uint8 reference luma -> (motion, motion2), float64 (N,)."""
+def motion_features_int(
+    frames: np.ndarray, bit_depth: int = 8
+) -> Tuple[np.ndarray, np.ndarray]:
+    """(N, H, W) reference luma -> (motion, motion2), float64 (N,).
+
+    >8-bit codes are carried natively: the vertical blur shift widens to
+    ``bpc`` (in_q = depth-8 on the 8-bit pixel scale) and the SAD runs on
+    the same Q8 planes as the 8-bit path."""
     n, h, w = frames.shape
-    blurred = np.stack([blur_int(f) for f in frames])
+    in_q = max(bit_depth - 8, 0)
+    blurred = np.stack([blur_int(f, in_q) for f in frames])
     sads = np.array(
         [
             int(np.abs(blurred[i].astype(np.int64)

@@ -16,16 +16,27 @@ by the reference via ffmpeg lavfi, app/vmaf_analyzer.py:406):
   * Decimation between scales: blur with the next scale's Q16 window,
     rounding to Q8 pixels, keep even rows/columns.
 
-The num/den log statistic is then evaluated in float64 on the integer
-sigma values with the integer-path branch structure (flat-reference branch
-for sigma1^2 < 2 — golden/vif.py:_vif_statistic_default).  libvmaf's last
-quantisation (log2 via a 2048-step LUT over a truncated 16-bit mantissa)
-contributes < 1e-5 to the pooled features and is not modelled; everything
-upstream of the logs — where the measurable fixed-point error lives — is
-integer-exact. See docs/CALIBRATION.md.
+The num/den statistic then follows libvmaf's integer evaluation exactly
+(since round 3 — previously the logs ran smooth in float64):
 
-All arithmetic uses uint64 (bounds are asserted), so this oracle is exact
-by construction and pins the device implementation (ops/vif_int.py).
+  * per-pixel logs through the Q11 log2 LUT on a truncated 16-bit
+    mantissa (golden/log2lut.py), accumulated as integer table values
+    plus integer shift counts;
+  * the gain ``g = sigma12 / (sigma1 + 65536e-10)`` and the two
+    truncations ``sv = (int)(sigma2 - g*sigma12)`` /
+    ``(int64)(g*g*sigma1)`` in IEEE double — numpy float64 reproduces the
+    C arithmetic (single rounding per op);
+  * the NEG enhancement-gain clamp applied AFTER sv — libvmaf computes
+    the residual with the unclamped gain and only caps the gain credited
+    to the numerator;
+  * flat-reference branch (sigma1 < sigma_nsq) accumulating raw integer
+    sigma2 with the final /16384/65025 scaling.
+
+All integer arithmetic uses uint64 (bounds are asserted), so this oracle
+is exact by construction and pins the device implementation
+(ops/vif_int.py). Remaining deviations from a real libvmaf binary are
+listed in docs/CALIBRATION.md (compiler FMA contraction inside the three
+double expressions; nothing else).
 """
 
 from __future__ import annotations
@@ -36,6 +47,7 @@ import numpy as np
 
 from pqa2_tpu.golden.fixedpoint import SIGMA_NSQ_Q16, VIF_FILTERS_Q16
 from pqa2_tpu.golden.filters import reflect_index
+from pqa2_tpu.golden.log2lut import log2_table, normalize16
 
 _U64 = np.uint64
 
@@ -106,21 +118,57 @@ def sigma_planes_int(
     return sigma1, sigma2, sigma12
 
 
-def _statistic(sigma1, sigma2, sigma12, gain_limit: float) -> Tuple[float, float]:
-    """Integer-path num/den statistic on Q16 sigma planes (float64 logs)."""
-    s1 = np.maximum(sigma1, 0) / 65536.0
-    s2 = np.maximum(sigma2, 0) / 65536.0
-    s12 = sigma12 / 65536.0
+#: The epsilon libvmaf adds to sigma1 before the gain division — the exact
+#: double value of ``65536 * 1.0e-10``.
+VIF_INT_EPS = np.float64(65536.0) * np.float64(1.0e-10)
 
-    log_branch = sigma1 >= SIGMA_NSQ_Q16
-    g = np.where(s12 > 0.0, s12 / np.maximum(s1, 1e-10), 0.0)
-    g = np.minimum(g, gain_limit)
-    sv_sq = np.maximum(s2 - g * s12, 0.0)
-    num_log = np.log2(1.0 + g * g * s1 / (sv_sq + 2.0))
-    den_log = np.log2(1.0 + s1 / 2.0)
-    num = np.where(log_branch, num_log, 1.0 - s2 * (4.0 / (255.0 * 255.0)))
-    den = np.where(log_branch, den_log, 1.0)
-    return float(num.sum()), float(den.sum())
+
+def _statistic(sigma1, sigma2, sigma12, gain_limit: float) -> Tuple[float, float]:
+    """libvmaf's integer num/den statistic on Q16 sigma planes.
+
+    LUT-quantised logs + integer accumulators; double (float64) gain and
+    truncations. See the module docstring for the exact contract."""
+    tab = log2_table().astype(np.int64)
+    s1 = np.maximum(sigma1, 0).astype(np.int64)
+    s2 = np.maximum(sigma2, 0).astype(np.int64)
+    s12 = np.asarray(sigma12, dtype=np.int64)
+
+    log_branch = s1 >= SIGMA_NSQ_Q16
+    num_branch = log_branch & (s12 >= 0)
+
+    # --- den term: log2(sigma_nsq + sigma1) - 17, via the LUT ------------
+    m_den, k_den = normalize16((SIGMA_NSQ_Q16 + s1).astype(np.uint64))
+    den_tab = tab[m_den]
+
+    # --- num term (double g, integer truncations, LUT logs) --------------
+    s1f = s1.astype(np.float64)
+    s12f = np.where(num_branch, s12, 0).astype(np.float64)
+    g = s12f / (s1f + VIF_INT_EPS)
+    sv = np.trunc(s2.astype(np.float64) - g * s12f)  # C (int32) cast
+    sv = np.maximum(sv, 0.0)
+    g = np.minimum(g, gain_limit)  # NEG clamp AFTER sv (libvmaf order)
+    numer1 = sv.astype(np.uint64) + np.uint64(SIGMA_NSQ_Q16)
+    tmp = np.trunc(g * g * s1f)  # C (int64) cast
+    assert float(tmp.max(initial=0.0)) < 2.0**62
+    numer1_tmp = tmp.astype(np.uint64) + numer1
+    m1, k1 = normalize16(numer1_tmp)
+    m2, k2 = normalize16(numer1)
+    num_tab = tab[m1] - tab[m2]
+    num_k = k1 - k2
+
+    # --- integer accumulators (exact), combined in double ----------------
+    accum_num_log = int(np.sum(np.where(num_branch, num_tab, 0)))
+    accum_num_k = int(np.sum(np.where(num_branch, num_k, 0)))
+    accum_den_log = int(np.sum(np.where(log_branch, den_tab, 0)))
+    accum_den_k = int(np.sum(np.where(log_branch, k_den, 0)))
+    n_log = int(np.sum(log_branch))
+    n_flat = int(log_branch.size - n_log)
+    accum_num_flat = int(np.sum(np.where(log_branch, 0, s2)))
+
+    num = (accum_num_log / 2048.0 + accum_num_k
+           + (n_flat - (accum_num_flat / 16384.0) / 65025.0))
+    den = (accum_den_log / 2048.0 + accum_den_k - 17.0 * n_log + n_flat)
+    return float(num), float(den)
 
 
 def vif_features_int(
@@ -131,21 +179,33 @@ def vif_features_int(
 ) -> List[float]:
     """uint8/uint16 luma pair -> [vif_scale0..3], integer fixed-point path.
 
-    >8-bit input is rounded to the 8-bit grid first (the f32 path normalises
-    the same way; a native 10-bit integer pipeline is a documented future
-    tightening, docs/CALIBRATION.md).
+    Native-grid high bit depth (round 3): 10/12-bit codes enter scale 0
+    carrying their extra bits as fixed-point fraction (in_q = depth-8 on
+    the 8-bit pixel scale — libvmaf's 16-bit profile shape: the scale-0
+    vertical mu shift becomes ``bpc``, the product shifts widen by
+    2*(depth-8), and the sigma statistic stays in the same Q16-pixel^2
+    domain with sigma_nsq unchanged). No 8-bit-grid rounding loss by
+    construction; rounding placement in the low bits is the natural
+    generalisation of the 8-bit schedule (a real libvmaf binary to
+    cross-check its 16-bit path does not exist here — see
+    docs/CALIBRATION.md). Depths above 12 are first rounded to the 12-bit
+    grid (the DWT band headroom bound).
     """
     ref = np.asarray(ref)
     dist = np.asarray(dist)
-    if bit_depth > 8:
-        half = 1 << (bit_depth - 9)
-        ref = np.minimum((ref.astype(np.int64) + half) >> (bit_depth - 8), 255)
-        dist = np.minimum((dist.astype(np.int64) + half) >> (bit_depth - 8), 255)
+    if bit_depth > 12:
+        half = 1 << (bit_depth - 13)
+        cap = (1 << 12) - 1
+        ref = np.minimum((ref.astype(np.int64) + half) >> (bit_depth - 12),
+                         cap)
+        dist = np.minimum((dist.astype(np.int64) + half) >> (bit_depth - 12),
+                          cap)
+        bit_depth = 12
     ref = ref.astype(_U64)
     dist = dist.astype(_U64)
 
     scores = []
-    in_q = 0
+    in_q = max(bit_depth - 8, 0)
     for scale in range(4):
         taps = VIF_FILTERS_Q16[scale]
         if scale > 0:

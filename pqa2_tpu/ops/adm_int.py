@@ -22,7 +22,7 @@ import numpy as np
 from pqa2_tpu.golden.adm import COS_1DEG_SQ, NUM_LEVELS, csf_rfactors
 from pqa2_tpu.golden.fixedpoint import ADM_BAND_Q, DB2_HI_Q15, DB2_LO_Q15
 from pqa2_tpu.ops.adm import _cm_threshold, _sum_cube
-from pqa2_tpu.ops.vif_int import to_u8_grid
+from pqa2_tpu.ops.vif_int import to_native_grid
 
 _I32 = jnp.int32
 
@@ -125,8 +125,13 @@ def adm_features_int_batched(
 ) -> jnp.ndarray:
     """(N, H, W) luma pair -> (N,) adm2, integer fixed-point path."""
     h, w = ref.shape[-2], ref.shape[-1]
-    cur_r = (to_u8_grid(ref, bit_depth).astype(_I32)) << ADM_BAND_Q[0]
-    cur_d = (to_u8_grid(dist, bit_depth).astype(_I32)) << ADM_BAND_Q[0]
+    # Native >8-bit grid: codes carry in_q fractional bits, so the
+    # initial shift narrows to keep level 0 at Q4 on the 8-bit scale
+    # (golden/adm_int.py:dwt_pyramid_int).
+    ref_c, in_q = to_native_grid(ref, bit_depth)
+    dist_c, _ = to_native_grid(dist, bit_depth)
+    cur_r = ref_c.astype(_I32) << (ADM_BAND_Q[0] - in_q)
+    cur_d = dist_c.astype(_I32) << (ADM_BAND_Q[0] - in_q)
     num = 0.0
     den = 0.0
     for lvl in range(NUM_LEVELS):

@@ -16,13 +16,16 @@ import jax.numpy as jnp
 
 from pqa2_tpu.golden.fixedpoint import MOTION_FILTER_Q16
 from pqa2_tpu.ops.motion import features_from_sad_prev
-from pqa2_tpu.ops.vif_int import _conv_direct, to_u8_grid
+from pqa2_tpu.ops.vif_int import _conv_direct, to_native_grid
 
 
 def blur_int_batched(frames: jnp.ndarray, bit_depth: int = 8) -> jnp.ndarray:
-    """(N, H, W) luma -> Q8 blurred planes (uint32)."""
-    x = to_u8_grid(frames, bit_depth)
-    tmp = _conv_direct(x, MOTION_FILTER_Q16, axis=-2, shift=8)
+    """(N, H, W) luma -> Q8 blurred planes (uint32).
+
+    >8-bit sources blur natively: the vertical shift widens to 8+in_q
+    (golden/motion_int.py), landing on the same Q8 plane domain."""
+    x, in_q = to_native_grid(frames, bit_depth)
+    tmp = _conv_direct(x, MOTION_FILTER_Q16, axis=-2, shift=8 + in_q)
     return _conv_direct(tmp, MOTION_FILTER_Q16, axis=-1, shift=16)
 
 

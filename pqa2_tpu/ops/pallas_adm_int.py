@@ -319,11 +319,16 @@ def adm_features_int_pallas(
     if not interpret and jax.default_backend() != "tpu":
         interpret = True
 
-    from pqa2_tpu.ops.vif_int import to_u8_grid
+    from pqa2_tpu.ops.vif_int import to_native_grid
 
     h, w = ref.shape[-2], ref.shape[-1]
-    cur_r = (to_u8_grid(ref, bit_depth).astype(_I32)) << ADM_BAND_Q[0]
-    cur_d = (to_u8_grid(dist, bit_depth).astype(_I32)) << ADM_BAND_Q[0]
+    # Native >8-bit grid: codes carry in_q fractional bits, so the
+    # initial shift narrows to keep level 0 at Q4 on the 8-bit scale
+    # (golden/adm_int.py:dwt_pyramid_int).
+    ref_c, in_q = to_native_grid(ref, bit_depth)
+    dist_c, _ = to_native_grid(dist, bit_depth)
+    cur_r = ref_c.astype(_I32) << (ADM_BAND_Q[0] - in_q)
+    cur_d = dist_c.astype(_I32) << (ADM_BAND_Q[0] - in_q)
     num = 0.0
     den = 0.0
     for lvl in range(NUM_LEVELS):

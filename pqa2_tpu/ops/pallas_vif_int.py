@@ -72,7 +72,7 @@ def _statistic_int(s1i, s2i, s12i, gain_limit):
 
 def _make_int_kernel(taps: np.ndarray, tile_h: int, tile_w: int,
                      h: int, w: int, gain_limit: float, in_q: int,
-                     next_taps=None, with_motion=False):
+                     next_taps=None, with_motion=False, emit_sigma=False):
     k = len(taps)
     half = k // 2
     rows = tile_h + 2 * half
@@ -82,6 +82,11 @@ def _make_int_kernel(taps: np.ndarray, tile_h: int, tile_w: int,
     u32 = jnp.uint32
 
     def kernel(ref_hbm, dist_hbm, acc_ref, *rest):
+        rest = list(rest)
+        if emit_sigma:
+            s1_out = rest.pop(0)
+            s2_out = rest.pop(0)
+            s12_out = rest.pop(0)
         if next_taps is not None:
             ref_next, dist_next, vmem, sem = rest
         else:
@@ -138,25 +143,27 @@ def _make_int_kernel(taps: np.ndarray, tile_h: int, tile_w: int,
                 acc = (acc + u32(1 << (shift - 1))) >> shift
             return acc
 
-        def col_split16(x, taps_l):
+        def col_split(x, taps_l, shift=16):
+            mask = u32((1 << shift) - 1)
             hi = lo = None
             for i, c in enumerate(taps_l):
                 s = x[i : i + tile_h, :]
-                thi = u32(c) * (s >> 16)
-                tlo = u32(c) * (s & _MASK16)
+                thi = u32(c) * (s >> shift)
+                tlo = u32(c) * (s & mask)
                 hi = thi if hi is None else hi + thi
                 lo = tlo if lo is None else lo + tlo
-            return hi + ((lo + u32(1 << 15)) >> 16)
+            return hi + ((lo + u32(1 << (shift - 1))) >> shift)
 
-        def row_split16(x, taps_l):
+        def row_split(x, taps_l, shift=16):
+            mask = u32((1 << shift) - 1)
             hi = lo = None
             for i, c in enumerate(taps_l):
                 xs = x if i == 0 else pltpu.roll(x, twp - i, axis=1)
-                thi = u32(c) * (xs >> 16)
-                tlo = u32(c) * (xs & _MASK16)
+                thi = u32(c) * (xs >> shift)
+                tlo = u32(c) * (xs & mask)
                 hi = thi if hi is None else hi + thi
                 lo = tlo if lo is None else lo + tlo
-            return hi + ((lo + u32(1 << 15)) >> 16)
+            return hi + ((lo + u32(1 << (shift - 1))) >> shift)
 
         v_mu_shift = 8 + in_q
         mu1 = row_direct(col_direct(r, taps_u, v_mu_shift), taps_u, 0)
@@ -166,7 +173,11 @@ def _make_int_kernel(taps: np.ndarray, tile_h: int, tile_w: int,
             p = a * b  # exact in u32: operands < 2^16
             if in_q == 0:
                 return row_direct(col_direct(p, taps_u, 16), taps_u, 0)
-            return row_split16(col_split16(p, taps_u), taps_u)
+            # ops/vif_int.py:_sigma_planes schedule: vertical >> 16,
+            # horizontal >> 2*in_q back to Q16 pixel^2 (both coincide at
+            # 16 for the Q8 decimated scales; 10/12-bit native scale 0
+            # uses in_q = 2/4).
+            return row_split(col_split(p, taps_u, 16), taps_u, 2 * in_q)
 
         xx = prod_plane(r, r)
         yy = prod_plane(d, d)
@@ -214,16 +225,26 @@ def _make_int_kernel(taps: np.ndarray, tile_h: int, tile_w: int,
             ref_next[0] = decimate_u32(blur)
             dist_next[0] = decimate_u32(blur_d)
 
-        num, den = _statistic_int(s1, s2, s12, gain_limit)
-        col_id = jax.lax.broadcasted_iota(jnp.int32, num.shape, 1)
-        row_id = jax.lax.broadcasted_iota(jnp.int32, num.shape, 0)
+        col_id = jax.lax.broadcasted_iota(jnp.int32, s1.shape, 1)
+        row_id = jax.lax.broadcasted_iota(jnp.int32, s1.shape, 0)
         valid = (
             (col_id < tile_w)
             & (col_id + j * tile_w < w)
             & (row_id + t * tile_h < h)
         )
-        num_s = jnp.sum(jnp.where(valid, num, 0.0))
-        den_s = jnp.sum(jnp.where(valid, den, 0.0))
+        if emit_sigma:
+            # Exact-statistic mode: the per-pixel int32 sigma planes go to
+            # HBM; the LUT statistic (ops/vif_int.py:_statistic) consumes
+            # them in XLA, where the table gather exists. num/den are not
+            # computed here.
+            s1_out[0] = s1[:, :tile_w]
+            s2_out[0] = s2[:, :tile_w]
+            s12_out[0] = s12[:, :tile_w]
+            num_s = den_s = jnp.float32(0.0)
+        else:
+            num, den = _statistic_int(s1, s2, s12, gain_limit)
+            num_s = jnp.sum(jnp.where(valid, num, 0.0))
+            den_s = jnp.sum(jnp.where(valid, den, 0.0))
 
         sad_hi = sad_lo = None
         if with_motion:
@@ -275,7 +296,7 @@ def _make_int_kernel(taps: np.ndarray, tile_h: int, tile_w: int,
 @functools.partial(
     jax.jit,
     static_argnames=("scale", "gain_limit", "in_q", "tile_h", "interpret",
-                     "emit_next", "with_motion"),
+                     "emit_next", "with_motion", "emit_sigma"),
 )
 def vif_int_scale_pallas(
     ref: jnp.ndarray,
@@ -287,9 +308,12 @@ def vif_int_scale_pallas(
     interpret: bool = False,
     emit_next: bool = False,
     with_motion: bool = False,
+    emit_sigma: bool = False,
 ):
     """uint32 (N, H, W) pair (Q{in_q} pixels) at this scale's resolution ->
-    (num, den[, sad][, ref', dist'])."""
+    (num, den[, sad][, ref', dist']) — or, with ``emit_sigma``,
+    (s1, s2, s12[, sad][, ref', dist']) int32 sigma planes for the exact
+    XLA LUT statistic."""
     taps = VIF_FILTERS_Q16[scale]
     n, h, w = ref.shape
     min_th = 16 if emit_next else 8
@@ -318,13 +342,20 @@ def vif_int_scale_pallas(
     next_taps = VIF_FILTERS_Q16[scale + 1] if emit_next else None
     kernel, rows = _make_int_kernel(
         taps, tile_h, tile_w, h, w, gain_limit, in_q,
-        next_taps=next_taps, with_motion=with_motion,
+        next_taps=next_taps, with_motion=with_motion, emit_sigma=emit_sigma,
     )
     out_specs = [
         pl.BlockSpec((1, 8, 128), lambda i, j, k2: (i, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
     out_shape = [jax.ShapeDtypeStruct((n, 8, 128), jnp.float32)]
+    if emit_sigma:
+        hp, wp = num_tiles * tile_h, num_w_tiles * tile_w
+        out_specs += [
+            pl.BlockSpec((1, tile_h, tile_w), lambda i, j, k2: (i, j, k2),
+                         memory_space=pltpu.VMEM),
+        ] * 3
+        out_shape += [jax.ShapeDtypeStruct((n, hp, wp), jnp.int32)] * 3
     if emit_next:
         h2, w2 = (h + 1) // 2, (w + 1) // 2
         th2, tw2 = tile_h // 2, tile_w // 2
@@ -354,14 +385,20 @@ def vif_int_scale_pallas(
     )(ref_p, dist_p)
 
     acc = out[0]
-    res = [acc[:, 0, 0], acc[:, 0, 1]]
+    nxt = 1
+    if emit_sigma:
+        # Padded tile grids -> the true (n, h, w) planes.
+        res = [out[nxt + i][:, :h, :w] for i in range(3)]
+        nxt += 3
+    else:
+        res = [acc[:, 0, 0], acc[:, 0, 1]]
     if with_motion:
         # Recombine the hi/lo byte-split partials (ops/motion_int.py
         # semantics: mean |diff| in pixel units of the Q8 planes).
         total = acc[:, 0, 2] * 256.0 + acc[:, 0, 3]
         res.append(total / (float(h * w) * 256.0))
     if emit_next:
-        res.extend([out[1], out[2]])
+        res.extend([out[nxt], out[nxt + 1]])
     return tuple(res)
 
 
@@ -372,6 +409,7 @@ def vif_features_int_pallas(
     interpret: bool = False,
     with_motion: bool = False,
     bit_depth: int = 8,
+    exact: bool = True,
 ):
     """(N, H, W) luma pair -> (N, 4) integer-path VIF via the fused cascade.
 
@@ -380,25 +418,41 @@ def vif_features_int_pallas(
     ``with_motion`` the scale-0 kernel also accumulates the integer motion
     SAD of the reference luma and the return becomes ((N, 4), (N,) sad)
     — sad[i] = mean |blur(ref[i]) - blur(ref[i-1])|, sad[0] = 0.
+
+    exact=True (default): the kernels emit int32 sigma planes and the
+    statistic runs in XLA with libvmaf's LUT log quantisation — the
+    bit-faithful hybrid (the per-pixel table gather has no Mosaic
+    lowering). exact=False keeps the round-2 fully-fused f32-log
+    statistic (precision="integer_fast").
     """
     if not interpret and jax.default_backend() != "tpu":
         interpret = True
 
-    from pqa2_tpu.ops.vif_int import to_u8_grid
+    from pqa2_tpu.ops.vif_int import (
+        _log2_table_device,
+        _statistic,
+        to_native_grid,
+    )
 
-    ref = to_u8_grid(ref, bit_depth)
-    dist = to_u8_grid(dist, bit_depth)
+    ref, in_q = to_native_grid(ref, bit_depth)
+    dist, _ = to_native_grid(dist, bit_depth)
+    table = _log2_table_device() if exact else None
     feats = []
     sad = None
-    in_q = 0
     for scale in range(4):
         out = vif_int_scale_pallas(
             ref, dist, scale, gain_limit=gain_limit, in_q=in_q,
             interpret=interpret, emit_next=scale < 3,
             with_motion=with_motion and scale == 0,
+            emit_sigma=exact,
         )
-        num, den = out[0], out[1]
-        rest = list(out[2:])
+        if exact:
+            s1, s2, s12 = out[0], out[1], out[2]
+            rest = list(out[3:])
+            num, den = _statistic(s1, s2, s12, gain_limit, table)
+        else:
+            num, den = out[0], out[1]
+            rest = list(out[2:])
         if with_motion and scale == 0:
             sad = rest.pop(0)
         if scale < 3:

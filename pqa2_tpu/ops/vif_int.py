@@ -63,20 +63,32 @@ def _conv_direct(x: jnp.ndarray, taps: np.ndarray, axis: int, shift: int):
     return acc
 
 
-def _conv_split16(x: jnp.ndarray, taps: np.ndarray, axis: int) -> jnp.ndarray:
-    """Exact (sum_t f_t * x_t + 2^15) >> 16 for uint32 x of any magnitude."""
+def _conv_split(x: jnp.ndarray, taps: np.ndarray, axis: int,
+                shift: int = 16) -> jnp.ndarray:
+    """Exact (sum_t f_t * x_t + 2^(shift-1)) >> shift for uint32 x.
+
+    Splitting each term at the shift boundary keeps both partial sums in
+    u32: 2^s*sum(f*hi) + sum(f*lo), and floor((2^s*A + B + 2^(s-1))/2^s)
+    == A + ((B + 2^(s-1)) >> s) holds exactly for B >= 0. Caller contract:
+    sum(f)*max(x)>>shift < 2^32 (the Q-schedules assert their bounds)."""
     k = len(taps)
     n = x.shape[axis]
     xp = _pad_reflect(x, k // 2, axis)
+    mask = _U32((1 << shift) - 1)
     acc_hi = None
     acc_lo = None
     for f, s in zip(taps, _slices(xp, k, n, axis)):
         fc = _U32(int(f))
-        hi = fc * (s >> 16)  # <= (2^16-1)^2 per term; sum bound by taps sum
-        lo = fc * (s & _MASK16)
+        hi = fc * (s >> shift)
+        lo = fc * (s & mask)
         acc_hi = hi if acc_hi is None else acc_hi + hi
         acc_lo = lo if acc_lo is None else acc_lo + lo
-    return acc_hi + ((acc_lo + _U32(1 << 15)) >> 16)
+    return acc_hi + ((acc_lo + _U32(1 << (shift - 1))) >> shift)
+
+
+def _conv_split16(x: jnp.ndarray, taps: np.ndarray, axis: int) -> jnp.ndarray:
+    """Exact (sum_t f_t * x_t + 2^15) >> 16 for uint32 x of any magnitude."""
+    return _conv_split(x, taps, axis, 16)
 
 
 def _mul_shift32(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -132,8 +144,13 @@ def _sigma_planes(
             # p < 2^16 -> both passes accumulate within u32.
             t = _conv_direct(p, taps, -2, shift=16)
             return _conv_direct(t, taps, -1, shift=0)
-        t = _conv_split16(p, taps, axis=-2)
-        return _conv_split16(t, taps, axis=-1)
+        # Vertical rounds >> 16 (Q16 taps), horizontal >> 2*in_q back to
+        # Q16 pixel^2. Split bounds: vertical hi = p>>16 <= 2^(2*in_q)-ish,
+        # horizontal hi <= maxcode^2 >> 2*in_q < 2^16 — both partial sums
+        # stay under 2^32 for in_q <= 8 (10/12-bit native and the Q8
+        # decimated scales).
+        t = _conv_split(p, taps, axis=-2, shift=16)
+        return _conv_split(t, taps, axis=-1, shift=2 * in_q)
 
     xx = prod_plane(ref, ref)
     yy = prod_plane(dist, dist)
@@ -145,8 +162,14 @@ def _sigma_planes(
     return s1, s2, s12
 
 
-def _statistic(s1i, s2i, s12i, gain_limit: float):
-    """num/den sums from int32 Q16 sigma planes (f32 logs)."""
+def _statistic_fast(s1i, s2i, s12i, gain_limit: float):
+    """num/den sums from int32 Q16 sigma planes — smooth f32 logs.
+
+    The round-2 throughput statistic: identical branch structure to the
+    exact path but with jnp.log2 instead of the LUT quantisation, and the
+    NEG clamp applied before sv (the classic reformulation). Pooled delta
+    vs the exact statistic is ~1e-5..1e-4 (pinned in tests); selected via
+    precision="integer_fast"."""
     s1 = jnp.maximum(s1i, 0).astype(jnp.float32) / 65536.0
     s2 = jnp.maximum(s2i, 0).astype(jnp.float32) / 65536.0
     s12 = s12i.astype(jnp.float32) / 65536.0
@@ -161,6 +184,264 @@ def _statistic(s1i, s2i, s12i, gain_limit: float):
     den = jnp.where(log_branch, den_log, 1.0)
     axes = tuple(range(1, num.ndim))
     return jnp.sum(num, axis=axes), jnp.sum(den, axis=axes)
+
+
+# -- exact LUT statistic (libvmaf integer semantics) ------------------------
+
+_EPS64 = float(np.float64(65536.0) * np.float64(1.0e-10))  # libvmaf's eps
+
+
+def _sum_pair(x: jnp.ndarray):
+    """Exact sum of i32 values |x| < 2^17 over all but the batch axis.
+
+    Returns (hi, lo) i32 with value = hi*65536 + lo, |hi| < 2^24,
+    0 <= lo < 2^16 — every piece exactly representable in f32. Assumes
+    H, W <= 4096 (row sums stay under 2^31; 8K frames are tiled upstream).
+    """
+    rs = jnp.sum(x, axis=-1)  # |rs| <= W * 2^17 < 2^29
+    hi = rs >> 16  # arithmetic shift: floor division by 65536
+    lo = rs & jnp.int32(0xFFFF)
+    shi = jnp.sum(hi, axis=-1)  # |.| <= H * 2^13 < 2^25
+    slo = jnp.sum(lo, axis=-1)  # <= H * 2^16 < 2^28
+    shi = shi + (slo >> 16)
+    slo = slo & jnp.int32(0xFFFF)
+    return shi, slo
+
+
+def _mul_split(a: jnp.ndarray, b: jnp.ndarray):
+    """Exact u32 x u32 -> (hi, lo) u32 pair (16-bit limbs + carries)."""
+    ah, al = a >> 16, a & _MASK16
+    bh, bl = b >> 16, b & _MASK16
+    lo = al * bl
+    mid1 = ah * bl
+    mid2 = al * bh
+    mid = mid1 + mid2
+    c_mid = (mid < mid1).astype(_U32)  # carry out of the mid sum
+    lo2 = lo + ((mid & _MASK16) << 16)
+    c_lo = (lo2 < lo).astype(_U32)
+    hi = ah * bh + (mid >> 16) + (c_mid << 16) + c_lo
+    return hi, lo2
+
+
+def _pair_sub(a_hi, a_lo, b_hi, b_lo):
+    """(a - b) on u32 pairs -> (hi, lo, borrow) with borrow in {0,1}."""
+    lo = a_lo - b_lo
+    borrow_lo = (a_lo < b_lo).astype(_U32)
+    hi = a_hi - b_hi - borrow_lo
+    borrow = ((a_hi < b_hi) | ((a_hi == b_hi) & (borrow_lo > 0))).astype(_U32)
+    return hi, lo, borrow
+
+
+def _div_u64_u32(p_hi: jnp.ndarray, p_lo: jnp.ndarray, d: jnp.ndarray):
+    """Exact floor((p_hi*2^32 + p_lo) / d) with remainder, for d >= 2^16.
+
+    Base-2^16 schoolbook long division; each digit is an f32 estimate
+    (error well under 1 for d >= 2^16) followed by an exact integer
+    remainder check and a bounded +-1 fixup. Returns (q_hi, q_lo, r) —
+    quotient as a u32 pair (it can exceed 32 bits when p ~ 2^62 and
+    d ~ 2^17) and the final remainder r < d.
+    """
+    df = d.astype(jnp.float32)
+    limbs = [p_hi >> 16, p_hi & _MASK16, p_lo >> 16, p_lo & _MASK16]
+    rem_hi = jnp.zeros_like(d)
+    rem_lo = jnp.zeros_like(d)
+    digits = []
+    for limb in limbs:
+        # rem = rem * 2^16 + limb  (rem < d*2^16 <= 2^47: hi has >=17
+        # leading zeros before the shift, so no bits are lost)
+        rem_hi = (rem_hi << 16) | (rem_lo >> 16)
+        rem_lo = ((rem_lo & _MASK16) << 16) | limb
+        remf = rem_hi.astype(jnp.float32) * jnp.float32(2.0**32) \
+            + rem_lo.astype(jnp.float32)
+        q = jnp.floor(remf / df)
+        q = jnp.clip(q, 0.0, 65536.0).astype(_U32)
+        # exact fixup: rem2 = rem - q*d, then the bounded +-1 adjustments
+        # (the f32 estimate's absolute error is (rem/d)*~1.2e-7 < 0.01 for
+        # digits < 2^16, so only the floor boundary can put it off by one)
+        qd_hi, qd_lo = _mul_split(q, d)
+        r_hi, r_lo, borrow = _pair_sub(rem_hi, rem_lo, qd_hi, qd_lo)
+        over = borrow > 0  # q one too big
+        q = jnp.where(over, q - 1, q)
+        add_lo = r_lo + jnp.where(over, d, _U32(0))
+        carry = (add_lo < r_lo).astype(_U32)
+        a_hi = r_hi + jnp.where(over, carry, _U32(0))
+        a_lo = add_lo
+        under = (a_hi > 0) | (a_lo >= d)  # q one too small
+        q = jnp.where(under, q + 1, q)
+        a_hi, a_lo, _ = _pair_sub(a_hi, a_lo, jnp.zeros_like(d),
+                                  jnp.where(under, d, _U32(0)))
+        rem_hi, rem_lo = a_hi, a_lo
+        digits.append(q)
+    # Reassemble q = d0*2^48 + d1*2^32 + d2*2^16 + d3 (each digit < 2^16,
+    # so the low word needs no carry); the final remainder fits one limb.
+    q_lo = digits[3] + (digits[2] << 16)
+    q_hi = digits[1] + (digits[0] << 16)
+    return q_hi, q_lo, rem_lo
+
+
+def _norm16_pair(v_hi: jnp.ndarray, v_lo: jnp.ndarray):
+    """Truncating normalisation of a u32 pair (value >= 2^17) into
+    [2^15, 2^16): returns (mantissa u32, shift k i32) — libvmaf's
+    get_best16_from64."""
+    import jax
+
+    bl_hi = 32 - jax.lax.clz(v_hi)  # 0 when hi == 0
+    bl_lo = 32 - jax.lax.clz(v_lo)
+    bitlen = jnp.where(v_hi > 0, 32 + bl_hi, bl_lo)
+    k = bitlen - 16  # >= 1 for v >= 2^17
+    # m = v >> k, assembled from the two limbs (k in [1, 46])
+    k_lo = jnp.clip(k, 0, 31).astype(_U32)
+    from_lo = v_lo >> k_lo
+    from_hi = jnp.where(
+        k < 32,
+        # hi contributes its low k bits shifted up; guard k==0 (shift 32)
+        jnp.where(k > 0, v_hi << jnp.clip(32 - k, 0, 31).astype(_U32),
+                  _U32(0)),
+        v_hi >> jnp.clip(k - 32, 0, 31).astype(_U32),
+    )
+    m = jnp.where(k < 32, from_lo | from_hi, from_hi)
+    return m, k
+
+
+def _statistic(s1i, s2i, s12i, gain_limit: float, table: jnp.ndarray):
+    """Exact libvmaf integer num/den statistic (golden/vif_int.py twin).
+
+    Per-pixel logs through the Q11 LUT on truncating 16-bit mantissas with
+    integer accumulation; the double-precision gain chain is reproduced
+    with an exact u64/u32 integer division plus epsilon-boundary
+    corrections evaluated in f32 (the only non-integer step — boundary
+    flips need |frac - c| ~< 1e-6, measure-zero on real content; see
+    docs/CALIBRATION.md)."""
+    s1 = jnp.maximum(s1i, 0).astype(_U32)
+    s2 = jnp.maximum(s2i, 0).astype(_U32)
+    log_branch = s1i >= SIGMA_NSQ_Q16
+    num_branch = log_branch & (s12i >= 0)
+    s12 = jnp.where(num_branch, s12i, 0).astype(_U32)
+
+    nsq = _U32(SIGMA_NSQ_Q16)
+
+    # --- den: log2(sigma_nsq + s1) via LUT ------------------------------
+    den_in = nsq + s1
+    import jax
+
+    k_den = (32 - jax.lax.clz(den_in)) - 16
+    m_den = den_in >> jnp.clip(k_den, 0, 31).astype(_U32)
+    den_tab = jnp.take(table, m_den.astype(jnp.int32))
+
+    # --- num: q, r = divmod(s12^2, s1); boundary-corrected truncations ---
+    d = jnp.where(num_branch, s1, _U32(1) << 20)  # masked lanes: safe d
+    p_hi, p_lo = _mul_split(s12, s12)
+    q_hi, q_lo, r = _div_u64_u32(p_hi, p_lo, d)
+    # q as f32 for the epsilon-boundary terms (exact integer compare uses
+    # the pair form below)
+    qf = q_hi.astype(jnp.float32) * jnp.float32(2.0**32) \
+        + q_lo.astype(jnp.float32)
+    s1f = d.astype(jnp.float32)
+    rf = r.astype(jnp.float32)
+    fracf = rf / s1f
+    epsf = jnp.float32(_EPS64)
+    # c1 = (q+frac)*eps/(s1+eps): sv crosses one integer down iff frac > c1
+    c1 = (qf + fracf) * epsf / (s1f + epsf)
+    # c2 ~= 2*c1 (exact factor (2*s1*eps + eps^2)/(s1+eps)^2): t = q-1 iff
+    # frac < c2
+    c2 = (qf + fracf) * epsf * (2.0 * s1f + epsf) / ((s1f + epsf) *
+                                                     (s1f + epsf))
+    # sv = trunc(s2 - g*s12) clamped >= 0. With v0 = s2 - q (integer):
+    # v = v0 - frac + c1 -> floor = v0 - (frac > c1); negatives clamp to 0.
+    # (q > s2 means v is deeply negative -> 0; q fits u32 there or not,
+    # saturate via the pair compare.)
+    q_gt_s2 = (q_hi > 0) | (q_lo > s2)
+    v0 = jnp.where(q_gt_s2, _U32(0), s2 - jnp.where(q_gt_s2, _U32(0), q_lo))
+    dec = (fracf > c1) & (v0 > 0) & ~q_gt_s2
+    sv = jnp.where(q_gt_s2, _U32(0), v0 - dec.astype(_U32))
+
+    # NEG clamp (after sv, libvmaf order): g > limit  <=>  s12 > limit*s1.
+    # t = trunc(g^2 * s1): unclamped = q - (frac < c2); clamped =
+    # trunc(limit^2 * s1) (exact for the shipped limit 1.0).
+    t_lo = q_lo - ((fracf < c2) & ((q_lo > 0) | (q_hi > 0))).astype(_U32)
+    t_hi = q_hi - ((q_lo == 0) & (q_hi > 0) &
+                   (fracf < c2)).astype(_U32)  # borrow
+    if np.isfinite(gain_limit):
+        gl = jnp.float32(gain_limit)
+        clamp = s12.astype(jnp.float32) > gl * s1f
+        gl2s1 = jnp.floor(gl * gl * s1f)  # exact when limit == 1.0
+        t_lo = jnp.where(clamp, gl2s1.astype(_U32), t_lo)
+        t_hi = jnp.where(clamp, _U32(0), t_hi)
+
+    numer1 = sv + nsq  # < 2^31 + 2^17: fits u32
+    nt_lo = t_lo + numer1
+    nt_hi = t_hi + (nt_lo < t_lo).astype(_U32)
+    m1, k1 = _norm16_pair(nt_hi, nt_lo)
+    k2 = (32 - jax.lax.clz(numer1)) - 16
+    m2 = numer1 >> jnp.clip(k2, 0, 31).astype(_U32)
+    num_tab = jnp.take(table, m1.astype(jnp.int32)) \
+        - jnp.take(table, m2.astype(jnp.int32))
+    num_k = k1 - k2
+
+    # --- exact integer accumulators, one f32 rounding at the end --------
+    # Table values are 16-bit and frames are <= ~8.3M pixels, so a plain
+    # i32 reduction overflows at 4K. _sum_pair keeps the sums exact as
+    # (hi, lo) pairs (value = hi*65536 + lo) with hi < 2^24 — both pieces
+    # exactly representable in f32, so the combined value rounds once.
+    nb = num_branch
+    lb = log_branch
+    zero = jnp.int32(0)
+    acc_num_tab = _sum_pair(jnp.where(nb, num_tab, zero))
+    acc_den_tab = _sum_pair(jnp.where(lb, den_tab, zero))
+    # Shift counts are <= 46 per pixel: a direct i32 sum is exact.
+    axes = tuple(range(1, s1.ndim))
+    acc_num_k = jnp.sum(jnp.where(nb, num_k, zero), axis=axes)
+    acc_den_k = jnp.sum(jnp.where(lb, k_den, zero), axis=axes)
+    n_log = jnp.sum(lb.astype(jnp.int32), axis=axes)
+    n_flat = jnp.int32(s1[0].size) - n_log
+    # Flat-branch sigma2 is a full u32: split 16/16 per pixel, pair-sum
+    # each half exactly.
+    s2m = jnp.where(lb, _U32(0), s2)
+    flat_hi = _sum_pair((s2m >> 16).astype(jnp.int32))
+    flat_lo = _sum_pair((s2m & _MASK16).astype(jnp.int32))
+
+    def pf(pair):  # exact pieces -> f32 (single rounding)
+        hi, lo = pair
+        return hi.astype(jnp.float32) * 65536.0 + lo.astype(jnp.float32)
+
+    acc_flat = pf(flat_hi) * 65536.0 + pf(flat_lo)
+    num = (pf(acc_num_tab) / 2048.0
+           + acc_num_k.astype(jnp.float32)
+           + (n_flat.astype(jnp.float32)
+              - (acc_flat / 16384.0) / 65025.0))
+    den = (pf(acc_den_tab) / 2048.0
+           + acc_den_k.astype(jnp.float32)
+           - 17.0 * n_log.astype(jnp.float32)
+           + n_flat.astype(jnp.float32))
+    return num, den
+
+
+def to_native_grid(x: jnp.ndarray, bit_depth: int = 8):
+    """Luma -> (uint32 native codes, in_q) for the integer pipeline.
+
+    Float input is on the 8-bit scale (the pipeline divides >8-bit codes by
+    2^(depth-8)); multiplying back recovers the exact native code — f32
+    represents code/2^k exactly — so no grid rounding occurs for real
+    sources. in_q = depth-8 is the fixed-point fraction the codes carry on
+    the 8-bit pixel scale. Depths above 12 are rounded onto the 12-bit
+    grid (DWT/conv headroom bound; 10/12-bit are the capture-chain
+    realities, reference vmaf_analyzer.py:411-419 accepts any pixfmt).
+    """
+    eff_depth = min(bit_depth, 12)
+    in_q = max(eff_depth - 8, 0)
+    if jnp.issubdtype(x.dtype, jnp.floating):
+        scale = float(1 << in_q)
+        # HALF-UP (floor(x*scale + 0.5)), the (x + half) >> shift rule —
+        # exact pass-through for true codes, deterministic for synthetic
+        # fractional input.
+        codes = jnp.floor(x * scale + 0.5)
+        return jnp.clip(codes, 0, (1 << eff_depth) - 1).astype(_U32), in_q
+    if bit_depth > 12:
+        shift = bit_depth - 12
+        xi = x.astype(jnp.int32)
+        xi = jnp.minimum((xi + (1 << (shift - 1))) >> shift, (1 << 12) - 1)
+        return xi.astype(_U32), in_q
+    return x.astype(_U32), in_q
 
 
 def to_u8_grid(x: jnp.ndarray, bit_depth: int = 8) -> jnp.ndarray:
@@ -179,23 +460,40 @@ def to_u8_grid(x: jnp.ndarray, bit_depth: int = 8) -> jnp.ndarray:
     return x.astype(_U32)
 
 
+def _log2_table_device() -> jnp.ndarray:
+    from pqa2_tpu.golden.log2lut import log2_table
+
+    return jnp.asarray(log2_table().astype(np.int32))
+
+
 def vif_features_int_batched(
     ref: jnp.ndarray,
     dist: jnp.ndarray,
     gain_limit: float = float("inf"),
     bit_depth: int = 8,
+    exact: bool = True,
 ) -> jnp.ndarray:
-    """(N, H, W) luma pair -> (N, 4) [vif_scale0..3], integer path."""
-    ref = to_u8_grid(ref, bit_depth)
-    dist = to_u8_grid(dist, bit_depth)
+    """(N, H, W) luma pair -> (N, 4) [vif_scale0..3], integer path.
+
+    exact=True (default) evaluates the statistic with libvmaf's LUT log2
+    quantisation and integer accumulators (bit-faithful to
+    golden/vif_int.py); exact=False keeps the smooth-f32-log throughput
+    statistic (precision="integer_fast"). >8-bit sources run natively
+    (in_q = depth-8 fixed-point codes; golden/vif_int.py docstring)."""
+    ref, in_q = to_native_grid(ref, bit_depth)
+    dist, _ = to_native_grid(dist, bit_depth)
+    table = _log2_table_device() if exact else None
     feats = []
-    in_q = 0
     for scale in range(4):
         taps = VIF_FILTERS_Q16[scale]
         if scale > 0:
             ref = _decimate2(ref, taps, in_q)
             dist = _decimate2(dist, taps, in_q)
             in_q = 8
-        num, den = _statistic(*_sigma_planes(ref, dist, taps, in_q), gain_limit)
+        planes = _sigma_planes(ref, dist, taps, in_q)
+        if exact:
+            num, den = _statistic(*planes, gain_limit, table)
+        else:
+            num, den = _statistic_fast(*planes, gain_limit)
         feats.append(jnp.where(den > 0, num / den, 1.0))
     return jnp.stack(feats, axis=-1)

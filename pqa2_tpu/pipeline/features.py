@@ -39,13 +39,19 @@ FEATURE_PRECISION = os.environ.get("PQA2_FEATURE_PRECISION", "auto")
 
 
 def resolve_precision(model, setting: Optional[str] = None) -> str:
-    """'auto'|'float'|'integer' (+ model) -> 'float' or 'integer'."""
+    """'auto'|'float'|'integer'|'integer_fast' (+ model) -> concrete mode.
+
+    "integer" is the bit-faithful libvmaf fixed-point path including the
+    LUT-quantised log statistic (the family integer models were trained
+    on); "integer_fast" swaps the statistic's LUT logs for smooth f32
+    logs (~1e-5..1e-4 pooled feature delta, pinned in tests) for
+    throughput-critical paths."""
     p = setting or FEATURE_PRECISION
     if p == "auto":
         if hasattr(model, "models"):  # bootstrap stack
             model = model.models[0]
         return "integer" if getattr(model, "uses_integer_features", False) else "float"
-    if p not in ("float", "integer"):
+    if p not in ("float", "integer", "integer_fast"):
         raise ValueError(f"unknown feature precision {p!r}")
     return p
 
@@ -54,7 +60,7 @@ def resolve_precision(model, setting: Optional[str] = None) -> str:
     jax.jit,
     static_argnames=(
         "vif_gain", "adm_gain", "vif_variant", "has_prev", "has_next",
-        "backend", "precision",
+        "backend", "precision", "bit_depth",
     ),
 )
 def extract_features_batched(
@@ -68,6 +74,7 @@ def extract_features_batched(
     has_next: bool = False,
     backend: Optional[str] = None,
     precision: str = "float",
+    bit_depth: int = 8,
 ) -> Dict[str, jnp.ndarray]:
     """(N, H, W) luma pair (incl. halo rows) -> dict of (N_core,) features.
 
@@ -76,9 +83,16 @@ def extract_features_batched(
 
     precision="integer" runs the fixed-point emulation of libvmaf's
     VMAF_integer_feature_* extractors (ops/vif_int, ops/adm_int,
-    ops/motion_int) — the path the integer models were trained on.
+    ops/motion_int) — the path the integer models were trained on;
+    "integer_fast" swaps the LUT log statistic for smooth f32 logs.
+
+    Luma is always on the 8-bit scale (the pipeline divides >8-bit codes
+    by 2^(depth-8)); pass ``bit_depth`` so the integer path can recover
+    the exact native codes and run its native-grid fixed-point schedule
+    (the f32 path is scale-invariant and ignores it).
     """
-    if precision == "integer":
+    if precision in ("integer", "integer_fast"):
+        exact = precision == "integer"
         core = slice(1 if has_prev else 0, -1 if has_next else None)
 
         int_backend = backend if backend is not None else KERNEL_BACKEND
@@ -88,11 +102,14 @@ def extract_features_batched(
             # Fused uint32 Pallas cascade: one HBM read feeds all four VIF
             # scales AND the integer motion SAD (ops/pallas_vif_int.py);
             # per-pixel integer stages are bit-identical to the XLA twin.
+            # exact mode: kernels emit sigma planes, the LUT statistic
+            # runs in XLA (the hybrid — see ops/pallas_vif_int.py).
             from pqa2_tpu.ops.motion import features_from_sad_prev
             from pqa2_tpu.ops.pallas_vif_int import vif_features_int_pallas
 
             vif_all, sad = vif_features_int_pallas(
                 ref, dist, gain_limit=vif_gain, with_motion=True,
+                exact=exact, bit_depth=bit_depth,
             )
             motion, motion2 = features_from_sad_prev(
                 sad[1:], ref.shape[0], has_prev=has_prev, has_next=has_next)
@@ -102,20 +119,24 @@ def extract_features_batched(
             from pqa2_tpu.ops.vif_int import vif_features_int_batched
 
             motion, motion2 = motion_features_int(
-                ref, has_prev=has_prev, has_next=has_next
+                ref, has_prev=has_prev, has_next=has_next,
+                bit_depth=bit_depth,
             )
             vif = vif_features_int_batched(ref[core], dist[core],
-                                           gain_limit=vif_gain)
+                                           gain_limit=vif_gain, exact=exact,
+                                           bit_depth=bit_depth)
         if int_backend == "pallas":
             from pqa2_tpu.ops.pallas_adm_int import adm_features_int_pallas
 
             adm2 = adm_features_int_pallas(ref[core], dist[core],
-                                           gain_limit=adm_gain)
+                                           gain_limit=adm_gain,
+                                           bit_depth=bit_depth)
         else:
             from pqa2_tpu.ops.adm_int import adm_features_int_batched
 
             adm2 = adm_features_int_batched(ref[core], dist[core],
-                                            gain_limit=adm_gain)
+                                            gain_limit=adm_gain,
+                                            bit_depth=bit_depth)
         return {
             "adm2": adm2,
             "motion": motion,

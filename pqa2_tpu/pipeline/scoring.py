@@ -142,6 +142,7 @@ def extract_clip_features(
     feature_params: Optional[Dict] = None,
     frame_cb=None,
     precision: Optional[str] = None,
+    bit_depth: int = 8,
 ) -> Dict[str, np.ndarray]:
     """Whole-clip feature extraction with chunked streaming + 1-frame halo.
 
@@ -171,7 +172,8 @@ def extract_clip_features(
             dist_c = pad_frames(dist_c, want)
         feats = extract_features_batched(
             jnp.asarray(ref_c), jnp.asarray(dist_c),
-            has_prev=has_prev, has_next=has_next, **feature_params,
+            has_prev=has_prev, has_next=has_next, bit_depth=bit_depth,
+            **feature_params,
         )
         core_n = stop - start
         from pqa2_tpu.pipeline.features import fetch_features
@@ -196,8 +198,13 @@ def score_clip(
     subsample: int = 1,
     frame_cb=None,
     precision: Optional[str] = None,
+    bit_depth: int = 8,
 ) -> ClipScores:
     """Luma batches -> per-frame VMAF. The core scoring entry point.
+
+    ``bit_depth``: the source depth of the (8-bit-scale) luma — lets the
+    integer feature path recover exact native codes for its native-grid
+    fixed-point schedule (pipeline/features.py).
 
     subsample=k scores every k-th frame (the reference's n_subsample option,
     app/vmaf_analyzer.py:379) with libvmaf semantics: features — including
@@ -211,7 +218,7 @@ def score_clip(
         dist_luma = dist_luma[::subsample]
     feats = extract_clip_features(
         ref_luma, dist_luma, model=mdl, chunk_size=chunk_size,
-        frame_cb=frame_cb, precision=precision,
+        frame_cb=frame_cb, precision=precision, bit_depth=bit_depth,
     )
     vmaf, boot = score_features(feats, mdl)
     name = mdl.name if hasattr(mdl, "name") else str(model)
@@ -275,7 +282,8 @@ def score_planes(
         if div != 1.0:
             dist_y = dist_y.astype(np.float32) / div
     result = score_clip(ref_y, dist_y, model=model, chunk_size=chunk_size,
-                        frame_cb=frame_cb, precision=precision)
+                        frame_cb=frame_cb, precision=precision,
+                        bit_depth=bit_depth)
     result.peak = float((1 << bit_depth) - 1)
     result.frame_step = subsample
 

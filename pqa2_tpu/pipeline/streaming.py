@@ -220,8 +220,14 @@ def stream_score(
                     rb = rb.astype(jnp.float32) / ref_div
                 if dist_div != 1.0:
                     db = db.astype(jnp.float32) / dist_div
+                # The integer path recovers native codes from the 8-bit
+                # scale; mixed-depth pairs score on the deeper grid (the
+                # shallower clip promotes exactly, << diff).
+                depth = max(meta.get("ref_depth", 8),
+                            meta.get("dist_depth", 8))
                 out = extract_features_batched(
-                    rb, db, has_prev=has_prev, has_next=has_next, **params,
+                    rb, db, has_prev=has_prev, has_next=has_next,
+                    bit_depth=depth, **params,
                 )
                 from pqa2_tpu.pipeline.features import fetch_features
 

@@ -94,6 +94,89 @@ def test_10bit_psnr_log_summary_uses_native_peak(tmp_path, rng):
     assert abs(float(m.group(1)) - float(np.mean(s.psnr["psnr_avg"]))) < 3.0
 
 
+def test_native_10bit_integer_path_oracle_vs_device(rng):
+    """True 10-bit content (codes not on the 8-bit grid): the integer
+    feature family runs on the native grid — oracle and device twin agree
+    per feature (round-3; previously >8-bit was rounded to 8-bit first)."""
+    import jax.numpy as jnp
+
+    from pqa2_tpu.golden.adm_int import adm_features_int
+    from pqa2_tpu.golden.motion_int import motion_features_int as motion_o
+    from pqa2_tpu.golden.vif_int import vif_features_int
+    from pqa2_tpu.ops.adm_int import adm_features_int_batched
+    from pqa2_tpu.ops.motion_int import motion_features_int as motion_d
+    from pqa2_tpu.ops.vif_int import vif_features_int_batched
+
+    ref = rng.integers(0, 1024, (3, 72, 96)).astype(np.uint16)
+    dist = np.clip(ref.astype(np.int32) + rng.integers(-40, 41, ref.shape),
+                   0, 1023).astype(np.uint16)
+
+    fo = vif_features_int(ref[0], dist[0], bit_depth=10)
+    fd = np.asarray(vif_features_int_batched(
+        jnp.asarray(ref[:1], jnp.uint32), jnp.asarray(dist[:1], jnp.uint32),
+        bit_depth=10))[0]
+    np.testing.assert_allclose(fd, fo, rtol=0, atol=2e-6)
+
+    ao = adm_features_int(ref[0], dist[0], bit_depth=10)[0]
+    ad = float(np.asarray(adm_features_int_batched(
+        jnp.asarray(ref[:1], jnp.uint32), jnp.asarray(dist[:1], jnp.uint32),
+        bit_depth=10))[0])
+    np.testing.assert_allclose(ad, ao, rtol=0, atol=1e-6)
+
+    mo, m2o = motion_o(ref, bit_depth=10)
+    md, m2d = motion_d(jnp.asarray(ref, jnp.uint32), bit_depth=10)
+    np.testing.assert_allclose(np.asarray(md), mo, rtol=0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(m2d), m2o, rtol=0, atol=1e-5)
+
+    # The float path is the scale-invariant cross-check: native integer
+    # features sit at the fixed-point quantisation distance from it.
+    from pqa2_tpu.golden.vif import vif_features
+
+    ff = vif_features(ref[0].astype(np.float64) / 4.0,
+                      dist[0].astype(np.float64) / 4.0)
+    assert np.max(np.abs(np.array(fo) - np.array(ff))) < 3e-3
+
+
+def test_native_10bit_shifted_8bit_consistency(rng):
+    """A 10-bit clip that is exactly 8-bit<<2 scores like the 8-bit clip —
+    the native schedule only widens rounding granularity (sub-1e-3)."""
+    from pqa2_tpu.golden.vif_int import vif_features_int
+
+    ref8 = rng.integers(0, 256, (64, 80)).astype(np.uint8)
+    dist8 = np.clip(ref8.astype(np.int16)
+                    + rng.integers(-12, 13, ref8.shape), 0, 255
+                    ).astype(np.uint8)
+    f8 = vif_features_int(ref8, dist8)
+    f10 = vif_features_int(ref8.astype(np.uint16) << 2,
+                           dist8.astype(np.uint16) << 2, bit_depth=10)
+    np.testing.assert_allclose(f10, f8, rtol=0, atol=1e-3)
+
+
+def test_10bit_e2e_y4m_native_pin(tmp_path, rng):
+    """End-to-end 10-bit y4m pair through the streaming scorer on the
+    integer (native-grid) default: sane scores, pinned against the float
+    family at the fixed-point distance."""
+    n, h, w = 3, 48, 64
+    base = rng.uniform(64, 940, size=(n, h, w))
+    for _ in range(2):
+        base = (base + np.roll(base, 1, -1) + np.roll(base, -1, -1)
+                + np.roll(base, 1, -2) + np.roll(base, -1, -2)) / 5.0
+    ref10 = np.round(base).astype(np.uint16)
+    dist10 = np.clip(ref10.astype(np.int32)
+                     + rng.integers(-8, 9, ref10.shape), 0, 1023
+                     ).astype(np.uint16)
+    pr, pd = str(tmp_path / "r10.y4m"), str(tmp_path / "d10.y4m")
+    write_y4m(pr, [_planes(f, 10) for f in ref10], colorspace="C420p10")
+    write_y4m(pd, [_planes(f, 10) for f in dist10], colorspace="C420p10")
+
+    s_int = stream_score(pr, pd, with_psnr=False, with_ssim=False)
+    s_f = stream_score(pr, pd, with_psnr=False, with_ssim=False,
+                       precision="float")
+    assert np.all(np.asarray(s_int.vmaf) > 20.0)
+    assert np.all(np.asarray(s_int.vmaf) <= 100.0)
+    np.testing.assert_allclose(s_int.vmaf, s_f.vmaf, rtol=0, atol=0.35)
+
+
 def test_geometry_mismatch_is_descriptive(tmp_path, rng):
     ref = rng.integers(0, 255, (2, 48, 64)).astype(np.uint8)
     dist = rng.integers(0, 255, (2, 32, 48)).astype(np.uint8)

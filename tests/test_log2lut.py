@@ -1,0 +1,132 @@
+"""libvmaf log2-LUT statistic: oracle <-> device bit-equality (round-3).
+
+The integer VIF statistic's log stages are pure integer arithmetic
+(truncating 16-bit normalisation + Q11 table lookup + integer
+accumulation) and must agree bit-for-bit between the numpy oracle
+(golden/log2lut.py, golden/vif_int.py) and the XLA twin helpers
+(ops/vif_int.py). The double-precision gain chain is reproduced with an
+exact u64/u32 division — pinned here against python bignum divmod.
+"""
+
+import numpy as np
+import pytest
+
+jnp = pytest.importorskip("jax.numpy")
+
+from pqa2_tpu.golden.log2lut import LOG2_SCALE, log2_table, normalize16
+
+pytestmark = pytest.mark.smoke  # fast tier (run_tests.py --quick)
+
+
+def test_table_shape_and_endpoints():
+    t = log2_table()
+    assert t.shape == (65537,)
+    assert t.dtype == np.uint16
+    assert t[32768] == 15 * LOG2_SCALE  # log2(2^15) exactly
+    assert t[65536] == 16 * LOG2_SCALE
+    # Monotone non-decreasing over the defined range, steps of 0/1.
+    d = np.diff(t[32767:].astype(np.int64))
+    assert d.min() >= 0 and d.max() <= 1
+
+
+def test_table_values_match_float32_log2f_semantics():
+    # round(float32(log2f(i)) * 2048) with C half-away rounding.
+    i = np.arange(32767, 65537)
+    y = (np.log2(i.astype(np.float64)).astype(np.float32)
+         * np.float32(2048)).astype(np.float32)
+    want = np.floor(y.astype(np.float64) + 0.5).astype(np.uint16)
+    assert np.array_equal(log2_table()[32767:], want)
+
+
+def test_normalize16_matches_bit_length(rng):
+    vals = np.concatenate([
+        rng.integers(1 << 17, 1 << 32, 200).astype(np.uint64),
+        rng.integers(1 << 17, 1 << 62, 200).astype(np.uint64),
+        np.array([1 << 17, (1 << 17) + 1, (1 << 62) - 1, 0xFFFFFFFF],
+                 dtype=np.uint64),
+    ])
+    m, k = normalize16(vals)
+    for v, mi, ki in zip(vals.tolist(), m.tolist(), k.tolist()):
+        assert ki == max(int(v).bit_length() - 16, 0)
+        assert mi == v >> ki
+        assert 1 << 15 <= mi < 1 << 16
+
+
+def test_device_div_u64_u32_exact(rng):
+    from pqa2_tpu.ops.vif_int import _div_u64_u32, _mul_split
+
+    d = np.concatenate([
+        rng.integers(1 << 17, 1 << 31, 300),
+        np.full(4, 1 << 17), np.full(4, (1 << 31) - 1),
+    ]).astype(np.uint32)
+    s12 = rng.integers(0, 1 << 31, d.size).astype(np.uint32)
+    ph, pl_ = _mul_split(jnp.asarray(s12), jnp.asarray(s12))
+    qh, ql, r = _div_u64_u32(ph, pl_, jnp.asarray(d))
+    qh, ql, r = (np.asarray(x) for x in (qh, ql, r))
+    for i in range(d.size):
+        p = int(s12[i]) ** 2
+        q_want, r_want = divmod(p, int(d[i]))
+        q_got = (int(qh[i]) << 32) | int(ql[i])
+        assert q_got == q_want, (i, s12[i], d[i], q_got, q_want)
+        assert int(r[i]) == r_want
+
+
+def test_device_normalization_and_gather_bit_equal(rng):
+    """The LUT stage itself: device mantissa/shift/table value ==
+    oracle, bit for bit, across the value range both statistics feed it."""
+    import jax
+
+    from pqa2_tpu.ops.vif_int import _log2_table_device, _norm16_pair
+
+    vals = np.concatenate([
+        rng.integers(1 << 17, 1 << 32, 500),
+        rng.integers(1 << 32, 1 << 34, 100),  # numer1_tmp can pass 2^32
+        np.array([1 << 17, 0xFFFFFFFF, 1 << 32, (1 << 34) - 1]),
+    ]).astype(np.uint64)
+    m_o, k_o = normalize16(vals)
+    tab_o = log2_table()[m_o]
+
+    v_hi = jnp.asarray((vals >> 32).astype(np.uint32))
+    v_lo = jnp.asarray((vals & 0xFFFFFFFF).astype(np.uint32))
+    m_d, k_d = _norm16_pair(v_hi, v_lo)
+    tab_d = jnp.take(_log2_table_device(), m_d.astype(jnp.int32))
+    assert np.array_equal(np.asarray(m_d), m_o.astype(np.uint32))
+    assert np.array_equal(np.asarray(k_d), k_o.astype(np.int32))
+    assert np.array_equal(np.asarray(tab_d), tab_o.astype(np.int32))
+
+
+def test_statistic_twin_adversarial_planes(rng):
+    """Full-statistic agreement on hand-built sigma planes covering every
+    branch: flat, log+negative-covariance, identity-like, huge values,
+    NEG clamp active."""
+    from pqa2_tpu.golden.vif_int import _statistic as oracle_stat
+    from pqa2_tpu.ops.vif_int import _log2_table_device
+    from pqa2_tpu.ops.vif_int import _statistic as dev_stat
+
+    n = 512
+    s1 = np.concatenate([
+        rng.integers(0, 131072, n // 4),            # flat branch
+        rng.integers(131072, 1 << 31, n // 2),      # log branch
+        np.full(n // 4, 131072),                    # boundary
+    ]).astype(np.int64)
+    s2 = rng.integers(0, 1 << 31, n).astype(np.int64)
+    s12 = np.concatenate([
+        rng.integers(-(1 << 30), 1 << 30, n - 64),
+        np.zeros(32, np.int64),                     # g == 0
+        s1[-32:],                                   # identity-ish g ~ 1
+    ]).astype(np.int64)
+    # keep |s12| <= sqrt(s1*s2) plausibility for the huge rows
+    cap = np.sqrt(np.maximum(s1, 1).astype(np.float64)
+                  * np.maximum(s2, 1).astype(np.float64)).astype(np.int64)
+    s12 = np.clip(s12, -cap, cap)
+
+    shaped = [x.reshape(1, 16, 32) for x in (s1, s2, s12)]
+    table = _log2_table_device()
+    for gl in (float("inf"), 1.0):
+        no, do = oracle_stat(*[x[0] for x in shaped], gl)
+        nd, dd = dev_stat(*[jnp.asarray(x, jnp.int32) for x in shaped], gl,
+                          table)
+        np.testing.assert_allclose(float(np.asarray(nd)[0]), no,
+                                   rtol=3e-7, atol=1e-4)
+        np.testing.assert_allclose(float(np.asarray(dd)[0]), do,
+                                   rtol=3e-7, atol=1e-4)

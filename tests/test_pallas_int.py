@@ -59,7 +59,13 @@ def test_fused_motion_matches_twin(rng):
 def test_identity_gives_unity(rng):
     r, _ = _pair(rng, 2, 64, 96)
     vif = np.asarray(vif_features_int_pallas(r, r, interpret=True))
-    np.testing.assert_allclose(vif, 1.0, atol=1e-6)
+    # The exact LUT statistic gives identity = 1 +- ~1e-5, not exactly 1:
+    # libvmaf's own num path computes trunc(g^2*s1) = s1 - 1 (the 1e-10
+    # epsilon pulls g a hair under 1), so num and den mantissas differ by
+    # one code and the Q11 table occasionally steps. Real libvmaf behaves
+    # identically; the SVR clips the score to exactly 100 regardless
+    # (tests/test_anchors.py::test_identity_clips_at_100).
+    np.testing.assert_allclose(vif, 1.0, atol=2e-5)
 
 
 @pytest.mark.parametrize("shape", [(2, 64, 96), (1, 72, 100), (2, 57, 96)])
