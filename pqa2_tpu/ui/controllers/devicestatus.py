@@ -80,7 +80,18 @@ def check_device_status(selected: Optional[str],
         return DeviceStatus("unknown", "Capture manager not initialized")
     try:
         if hasattr(options_manager, "test_device_connection"):
-            available, message = options_manager.test_device_connection(selected)
+            res = options_manager.test_device_connection(selected)
+            # app/devices.py returns {"connected", "reason", "device"};
+            # a (bool, str) pair is accepted for custom managers. (This
+            # unpacking was a 2-tuple before round 3 — the dict made the
+            # indicator report a permanent check error, caught by the
+            # qt-glue stub test.)
+            if isinstance(res, dict):
+                available = bool(res.get("connected"))
+                message = res.get("reason") or (
+                    "Device connected" if available else "Device unavailable")
+            else:
+                available, message = res
         else:
             available, message = True, "Device check skipped"
     except Exception as e:

@@ -1,7 +1,8 @@
 """HelpTab — static documentation.
 
 Rebuild of app/ui/tabs/help_tab.py: quick start (:91), user guide (:168),
-VMAF primer (:422), troubleshooting (:617) as HTML sections."""
+installation (:331), VMAF primer (:422), troubleshooting (:617) and the
+capture-formats reference (:844) as HTML sections."""
 
 from __future__ import annotations
 
@@ -21,8 +22,11 @@ class HelpTab(QWidget):
         tabs = QTabWidget()
         tabs.addTab(_browser(self._get_quick_start_content()), "Quick start")
         tabs.addTab(_browser(self._get_user_guide_content()), "User guide")
+        tabs.addTab(_browser(self._get_installation_content()), "Installation")
         tabs.addTab(_browser(self._get_vmaf_primer_content()), "About VMAF")
         tabs.addTab(_browser(self._get_troubleshooting_content()), "Troubleshooting")
+        tabs.addTab(_browser(self._get_capture_formats_content()),
+                    "Capture formats")
         layout.addWidget(tabs)
 
     def _get_quick_start_content(self) -> str:
@@ -60,6 +64,67 @@ class HelpTab(QWidget):
         directory holding the libvmaf-schema <code>*_vmaf.json</code>,
         ffmpeg-format <code>*_psnr.txt</code>/<code>*_ssim.txt</code>, and
         <code>metadata.json</code>.</p>"""
+
+    def _get_installation_content(self) -> str:
+        # Reference parity: help_tab.py:331 (install guide).
+        return """
+        <h2>Installation</h2>
+        <h3>Requirements</h3>
+        <ul>
+          <li>Python 3.10+ with <code>jax</code> and <code>numpy</code>
+              (the scoring engine; a TPU-enabled jax for accelerator runs,
+              CPU jax works for development).</li>
+          <li><i>Optional:</i> <code>PyQt5</code> for the desktop UI — the
+              CLI (<code>pqa2 --help</code>) and the engine API work
+              without it.</li>
+          <li><i>Optional:</i> <code>opencv-python</code> and
+              <code>ffmpeg</code> for compressed-container ingest (mp4/mkv)
+              and DeckLink capture; raw <code>.y4m</code> clips decode
+              in-process with no external tools.</li>
+          <li><i>Optional:</i> <code>matplotlib</code> for PDF report
+              charts.</li>
+        </ul>
+        <h3>Install</h3>
+        <p><code>pip install -e .</code> from the repository root installs
+        the <code>pqa2_tpu</code> package and the <code>pqa2</code>
+        command. Model files ship preparsed inside the package — no
+        model download step.</p>
+        <h3>Capture hardware</h3>
+        <p>For Blackmagic DeckLink / Intensity Shuttle capture, install the
+        vendor's Desktop Video drivers and an ffmpeg build with
+        <code>--enable-decklink</code>; set its path under Options &rarr;
+        General if it is not on PATH. Verify with the Capture tab's
+        <i>Refresh devices</i>.</p>
+        <h3>Self-check</h3>
+        <p><code>python run_tests.py --quick</code> runs the fast test
+        tier; <code>pqa2 probe &lt;file&gt;</code> checks ingest of a
+        specific clip.</p>"""
+
+    def _get_capture_formats_content(self) -> str:
+        # Reference parity: help_tab.py:844 (capture formats reference).
+        return """
+        <h2>Capture formats</h2>
+        <p>DeckLink devices identify modes by four-character format codes.
+        The capture backend probes each device for its supported list
+        (Options &rarr; Capture &rarr; detect formats); common modes:</p>
+        <table border="1" cellspacing="0" cellpadding="4">
+          <tr><th>Code</th><th>Mode</th><th>Resolution</th><th>Rate</th></tr>
+          <tr><td>ntsc</td><td>NTSC SD</td><td>720&times;486</td><td>29.97i</td></tr>
+          <tr><td>pal</td><td>PAL SD</td><td>720&times;576</td><td>25i</td></tr>
+          <tr><td>Hp29</td><td>1080p29.97</td><td>1920&times;1080</td><td>29.97p</td></tr>
+          <tr><td>Hp30</td><td>1080p30</td><td>1920&times;1080</td><td>30p</td></tr>
+          <tr><td>Hp59</td><td>1080p59.94</td><td>1920&times;1080</td><td>59.94p</td></tr>
+          <tr><td>Hi59</td><td>1080i59.94</td><td>1920&times;1080</td><td>29.97i</td></tr>
+          <tr><td>hp59</td><td>720p59.94</td><td>1280&times;720</td><td>59.94p</td></tr>
+          <tr><td>hp60</td><td>720p60</td><td>1280&times;720</td><td>60p</td></tr>
+        </table>
+        <p>Pixel format: capture runs in <code>uyvy422</code> (the
+        DeckLink wire format) and is converted in-process (BT.601/709
+        matrix by resolution) before scoring. Intensity Shuttle devices
+        that fail format probing fall back to a built-in mode table.</p>
+        <p>Choose the format matching the device under test's output
+        exactly — a rate mismatch shows up as alignment failures or
+        duplicated frames in the captured clip.</p>"""
 
     def _get_vmaf_primer_content(self) -> str:
         return """

@@ -61,6 +61,8 @@ class OptionsTab(QWidget):
     def _make_editor(self, field):
         """Field kind -> (widget, get, set, optional-row-layout)."""
         kind = field.kind
+        if (field.category, field.key) == ("capture", "format_code"):
+            return self._make_format_editor(field)
         if kind == "bool":
             cb = QCheckBox(field.label)
             return cb, cb.isChecked, cb.setChecked, None
@@ -95,6 +97,77 @@ class OptionsTab(QWidget):
                     lambda v: combo.setCurrentText(str(v)), None)
         edit = QLineEdit()
         return edit, edit.text, lambda v: edit.setText(str(v or "")), None
+
+    def _make_format_editor(self, field):
+        """format_code gets the interactive per-device detection flow
+        (reference options_tab.py:625-970): editable combo + Detect button
+        that enumerates the selected device's modes and applies the pick
+        to the capture settings (ui/controllers/formats.py)."""
+        combo = QComboBox()
+        combo.setEditable(True)
+        detect = QPushButton("Detect formats")
+        src_lbl = QLabel("")
+        self._format_rows = []
+
+        self._format_populating = False
+
+        def run_detect(_=None):
+            from pqa2_tpu.ui.controllers import formats as fc
+
+            device = None
+            dev_editor = self._editors.get(("capture", "default_device"))
+            if dev_editor is not None:
+                device = dev_editor[1]() or None
+            rows, source = fc.detect_formats(device)
+            self._format_rows = rows
+            current = combo.currentText()
+            self._format_populating = True
+            try:
+                combo.clear()
+                for fmt in rows:
+                    combo.addItem(fc.format_display(fmt), fmt)
+                if current:
+                    self._set_format_value(combo, current)
+            finally:
+                self._format_populating = False
+            src_lbl.setText(
+                f"{len(rows)} modes ({'probed' if source == 'probe' else 'fallback table'})")
+
+        def on_pick(idx):
+            from pqa2_tpu.ui.controllers import formats as fc
+
+            # Populate-time index churn must not auto-apply a format.
+            if self._format_populating:
+                return
+            if 0 <= idx < len(self._format_rows) and self.om is not None:
+                fc.apply_format(self.om, self._format_rows[idx])
+                self.parent.statusBar().showMessage(
+                    f"Capture format set: {self._format_rows[idx].get('id')}")
+
+        detect.clicked.connect(run_detect)
+        combo.currentIndexChanged.connect(on_pick)
+        row = QHBoxLayout()
+        row.addWidget(combo)
+        row.addWidget(detect)
+        row.addWidget(src_lbl)
+
+        def getter():
+            fmt = combo.currentData()
+            if isinstance(fmt, dict):
+                return str(fmt.get("id", ""))
+            return combo.currentText().split(" — ")[0].strip()
+
+        return (combo, getter,
+                lambda v: self._set_format_value(combo, str(v or "")), row)
+
+    @staticmethod
+    def _set_format_value(combo, code: str):
+        for i in range(combo.count()):
+            data = combo.itemData(i)
+            if isinstance(data, dict) and data.get("id") == code:
+                combo.setCurrentIndex(i)
+                return
+        combo.setEditText(code) if hasattr(combo, "setEditText") else None
 
     # -- load/save -----------------------------------------------------------
 

@@ -1,0 +1,117 @@
+"""Subprocess driver: construct the real UI under the PyQt5 stub.
+
+Run by tests/test_qt_glue.py in a fresh interpreter so the stubbed PyQt5
+modules never leak into other tests. Fails (non-zero exit) if any
+signal-connect target is missing (AttributeError at construction), any
+tab fails to build, or the wizard/handoff flows raise.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "support"))
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+import qt_stub
+
+qt_stub.install()
+
+import tempfile
+
+from PyQt5.QtWidgets import QApplication, QMessageBox
+
+
+def main():
+    tmp = tempfile.mkdtemp(prefix="qt_glue_")
+    os.environ["PQA2_CONFIG_DIR"] = tmp
+
+    app = QApplication([])
+
+    from pqa2_tpu.app.capture import CaptureManager
+    from pqa2_tpu.app.options_manager import OptionsManager
+    from pqa2_tpu.app.utils import FileManager
+    from pqa2_tpu.ui.main_window import MainWindow
+
+    options = OptionsManager(settings_file=os.path.join(tmp, "settings.json"))
+    files = FileManager()
+    capture = CaptureManager(options_manager=options)
+
+    win = MainWindow(capture_manager=capture, file_manager=files,
+                     options_manager=options)
+
+    # --- structural checks -------------------------------------------
+    assert win.tabs.count() == 6, f"expected 6 tabs, got {win.tabs.count()}"
+    names = [win.tabs.tabText(i) for i in range(6)]
+    assert names == ["Setup", "Capture", "Analysis", "Results", "Options",
+                     "Help"], names
+
+    # --- wizard navigation: click the real Back/Next buttons ---------
+    from PyQt5.QtWidgets import QPushButton
+
+    def nav_buttons(tab):
+        found = {}
+
+        def walk(layout):
+            items = getattr(layout, "items", None)
+            if not isinstance(items, list):
+                return
+            for it in items:
+                if isinstance(it, QPushButton):
+                    if "Next" in it.text():
+                        found["next"] = it
+                    elif "Back" in it.text():
+                        found["back"] = it
+                else:
+                    walk(it)
+
+        walk(tab.layout())
+        return found
+
+    assert win.tabs.currentIndex() == 0
+    order = [win.setup_tab, win.capture_tab, win.analysis_tab,
+             win.results_tab]
+    for i, tab in enumerate(order[:-1]):
+        nav = nav_buttons(tab)
+        assert "next" in nav, f"tab {i} missing Next button"
+        nav["next"].clicked.emit()
+        assert win.tabs.currentIndex() == i + 1, (i, win.tabs.currentIndex())
+    for i in (3, 2, 1):
+        nav = nav_buttons(order[i])
+        assert "back" in nav, f"tab {i} missing Back button"
+        nav["back"].clicked.emit()
+        assert win.tabs.currentIndex() == i - 1
+
+    # --- settings propagation (live theme + device indicator) --------
+    options.update_setting("branding", "app_name", "Glue Test App")
+    options.flush()
+
+    # --- capture-finished handoff ------------------------------------
+    import numpy as np
+
+    from pqa2_tpu.io.y4m import write_y4m
+
+    clip = os.path.join(tmp, "cap.y4m")
+    y = np.full((48, 64), 128, np.uint8)
+    c = np.full((24, 32), 128, np.uint8)
+    write_y4m(clip, [{"y": y, "u": c, "v": c}] * 3)
+    win.handle_capture_finished(True, clip)
+    assert win.tabs.currentIndex() == 2, "handoff should land on Analysis"
+
+    # --- menu actions exist and fire ----------------------------------
+    menus = win.menuBar().actions
+    assert len(menus) >= 2, "File/Help menus missing"
+
+    # --- start_new_test resets back to Setup -------------------------
+    win.start_new_test()
+    assert win.tabs.currentIndex() == 0
+    assert win.analysis_tab.capture_path is None
+
+    # --- close-time cleanup path -------------------------------------
+    win.close()
+    print("qt glue OK: 6 tabs, wizard nav, handoff, reset, close")
+
+
+if __name__ == "__main__":
+    main()

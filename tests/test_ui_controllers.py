@@ -25,6 +25,9 @@ from pqa2_tpu.ui.controllers.devicestatus import FALLBACK_DEVICES
 from pqa2_tpu.ui.controllers.preview import to_rgb
 
 
+pytestmark = pytest.mark.smoke  # fast tier (run_tests.py --quick)
+
+
 def _results(vmaf=97.5, frames=12):
     return {
         "vmaf_score": vmaf, "psnr_score": 38.0, "ssim_score": 0.98,
@@ -396,3 +399,30 @@ def test_preview_invalid_frame_status():
     assert pm.last_status == "No video feed received"
     assert pm.submit(np.zeros((2, 2), np.uint8)) is not None
     assert pm.last_status == "ok"
+
+
+def test_format_detection_flow(tmp_path):
+    """Per-device format detection (reference options_tab.py:625-970):
+    hardware-free environments get the fallback table; applying a format
+    writes the capture settings the command builder reads."""
+    from pqa2_tpu.app.options_manager import OptionsManager
+    from pqa2_tpu.ui.controllers import formats as fc
+
+    rows, source = fc.detect_formats(None)
+    assert rows and source == "fallback"
+    assert any(r["id"] == "Hp29" for r in rows)
+    disp = fc.format_display(rows[0])
+    assert rows[0]["id"] in disp and "fps" in disp
+
+    om = OptionsManager(settings_file=str(tmp_path / "s.json"))
+    hp29 = next(r for r in rows if r["id"] == "Hp29")
+    updates = fc.apply_format(om, hp29)
+    om.flush()
+    assert updates["format_code"] == "Hp29"
+    assert om.get_setting("capture", "format_code") == "Hp29"
+    assert om.get_setting("capture", "resolution") == "1920x1080"
+    assert float(om.get_setting("capture", "frame_rate")) == 29.97
+
+    # Unknown device: probe fails without ffmpeg -> fallback, never raises.
+    rows2, _ = fc.detect_formats("DeckLink Mini Recorder")
+    assert rows2
