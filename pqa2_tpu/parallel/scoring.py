@@ -167,3 +167,63 @@ def make_shardmap_scorer(
         return {"vmaf": predictor(x), **feats}
 
     return step
+
+
+def score_clip_sharded(
+    ref_luma,
+    dist_luma,
+    mesh: Mesh,
+    model: Union[str, VMAFModel, BootstrapModel] = "vmaf_v0.6.1",
+    precision: Optional[str] = None,
+    scorer=None,
+):
+    """Whole-clip scoring over the mesh's data axis for arbitrary N.
+
+    Pads the frame batch up to a multiple of the data-axis size by
+    repeating the last frame (shard_map needs even shards), runs the
+    Pallas-per-shard scorer (make_shardmap_scorer), and drops the pad
+    frames. The pad duplicates give the last REAL frame a zero forward
+    SAD, so its motion2 is restored to clip-end semantics (= motion) and
+    its score re-predicted host-side from the corrected feature vector —
+    identical math to the device predictor.
+
+    Pass ``scorer`` (a make_shardmap_scorer result) to amortise the
+    compile across clips of equal geometry — the batch ladder does.
+    Returns {"vmaf": (N,), <feature>: (N,), "n_frames": N}.
+    """
+    import numpy as np
+
+    from pqa2_tpu.parallel.mesh import shard_frames
+
+    mdl = get_model(model) if isinstance(model, str) else model
+    nd = mesh.shape[DATA_AXIS]
+    n = int(ref_luma.shape[0])
+    pad = (-n) % nd
+    if pad:
+        ref_luma = jnp.concatenate(
+            [jnp.asarray(ref_luma)] + [jnp.asarray(ref_luma[-1:])] * pad)
+        dist_luma = jnp.concatenate(
+            [jnp.asarray(dist_luma)] + [jnp.asarray(dist_luma[-1:])] * pad)
+    if scorer is None:
+        scorer = make_shardmap_scorer(mesh, mdl, precision)
+    out = scorer(shard_frames(ref_luma, mesh), shard_frames(dist_luma, mesh))
+    # Writable host copies (np.asarray of a jax array is read-only).
+    res = {k: np.array(v)[..., :n] if k == "vmaf_bootstrap"
+           else np.array(v)[:n] for k, v in out.items()}
+    if pad:
+        res["motion2"][n - 1] = res["motion"][n - 1]
+        names = mdl.feature_names
+        x = np.stack([res[k][n - 1] for k in names])[None, :]
+        predictor = (
+            BootstrapPredictor(mdl)
+            if isinstance(mdl, BootstrapModel)
+            else ScorePredictor(mdl)
+        )
+        fix = predictor(jnp.asarray(x, jnp.float32))
+        if isinstance(mdl, BootstrapModel):
+            res["vmaf"][n - 1] = float(np.asarray(fix[0])[0])
+            res["vmaf_bootstrap"][:, n - 1] = np.asarray(fix[1])[:, 0]
+        else:
+            res["vmaf"][n - 1] = float(np.asarray(fix)[0])
+    res["n_frames"] = n
+    return res

@@ -115,3 +115,57 @@ def test_shardmap_scorer_matches_single_device():
         np.testing.assert_allclose(
             np.asarray(out[k]), np.asarray(feats[k]), rtol=0, atol=1e-4,
             err_msg=k)
+
+
+def test_sharded_batch_suite_matches_single_device(tmp_path):
+    """Ladder sweep over the 8-device CPU mesh (pipeline/batch.py mesh
+    mode): per-clip VMAF equals the single-device scorer, padding (N not
+    divisible by the data axis) handled, summary notes per-device fps."""
+    import numpy as np
+
+    from pqa2_tpu.io.y4m import write_y4m
+    from pqa2_tpu.pipeline.batch import run_batch_suite
+
+    rng = np.random.default_rng(3)
+    n, h, w = 11, 48, 64  # 11 frames: exercises the pad path (8-dev mesh)
+    ref = rng.integers(16, 235, (n, h, w)).astype(np.uint8)
+    c = np.full((h // 2, w // 2), 128, np.uint8)
+    mk = lambda ys: [{"y": f, "u": c, "v": c} for f in ys]
+    ref_p = str(tmp_path / "ref.y4m")
+    write_y4m(ref_p, mk(ref))
+    entries = []
+    for q in (4, 12):
+        d = np.clip(ref.astype(np.int16) + rng.integers(-q, q + 1, ref.shape),
+                    0, 255).astype(np.uint8)
+        p = str(tmp_path / f"rung{q}.y4m")
+        write_y4m(p, mk(d))
+        entries.append({"reference": ref_p, "distorted": p,
+                        "name": f"rung{q}"})
+
+    mesh = make_mesh(n_data=8, n_space=1)
+    out_dir = str(tmp_path / "suite")
+    summary = run_batch_suite({"entries": entries}, out_dir, mesh=mesh)
+    assert summary["mesh_devices"] == 8
+    assert summary["n_clips"] == 2
+    assert summary["total_frames"] == 2 * n
+    assert summary["aggregate_fps_per_device"] is not None
+
+    # Equivalence: single-device score_clip on the same pairs.
+    import json
+
+    for row, entry in zip(summary["clips"], entries):
+        assert "error" not in row, row
+        from pqa2_tpu.io.y4m import read_y4m
+
+        d = np.stack([f["y"] for f in read_y4m(entry["distorted"])[1]])
+        single = score_clip(ref.astype(np.float32), d.astype(np.float32),
+                            model="vmaf_v0.6.1")
+        np.testing.assert_allclose(row["vmaf"],
+                                   float(np.mean(single.vmaf)), atol=2e-3)
+        with open(row["json_path"]) as f:
+            doc = json.load(f)
+        assert len(doc["frames"]) == n
+        per_frame = [fr["metrics"]["vmaf"] for fr in doc["frames"]]
+        np.testing.assert_allclose(per_frame, single.vmaf, atol=5e-3)
+    # Harsher rung scores lower.
+    assert summary["clips"][1]["vmaf"] < summary["clips"][0]["vmaf"]
