@@ -10,8 +10,8 @@ libvmaf lavfi filter, app/vmaf_analyzer.py:406). Per scale s:
   3. per-pixel information accumulation:
        sigma1^2 >= sigma_nsq (=2):
            g     = sigma12 / sigma1^2          (0 if sigma12 <= 0)
+           sv^2  = sigma2^2 - g * sigma12      (unclamped gain)
            g     = min(g, vif_enhn_gain_limit) (NEG models)
-           sv^2  = sigma2^2 - g * sigma12
            num  += log2(1 + g^2 * sigma1^2 / (sv^2 + sigma_nsq))
            den  += log2(1 + sigma1^2 / sigma_nsq)
        else (flat reference region):
@@ -47,8 +47,11 @@ def _vif_statistic_default(
     log_branch = sigma1_sq >= SIGMA_NSQ
 
     g = np.where(sigma12 > 0.0, sigma12 / np.maximum(sigma1_sq, EPS), 0.0)
-    g = np.minimum(g, gain_limit)
+    # sv uses the UNclamped gain; the NEG enhancement limit only caps the
+    # gain credited to the numerator (libvmaf order — the clamp sits right
+    # before num_val in vif.c; fixed round 3, was clamp-before).
     sv_sq = np.maximum(sigma2_sq - g * sigma12, 0.0)
+    g = np.minimum(g, gain_limit)
     num_log = np.log2(1.0 + g * g * sigma1_sq / (sv_sq + SIGMA_NSQ))
     den_log = np.log2(1.0 + sigma1_sq / SIGMA_NSQ)
 

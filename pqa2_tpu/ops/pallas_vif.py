@@ -56,9 +56,10 @@ def _statistic(mu1, mu2, xx, yy, xy, gain_limit, variant):
         sigma12 = xy - mu1 * mu2
         log_branch = sigma1_sq >= SIGMA_NSQ
         g = jnp.where(sigma12 > 0.0, sigma12 / jnp.maximum(sigma1_sq, EPS), 0.0)
+        # NEG clamp after sv (libvmaf order; golden/vif.py).
+        sv_sq = jnp.maximum(sigma2_sq - g * sigma12, 0.0)
         if math.isfinite(gain_limit):  # inf literals can break Mosaic
             g = jnp.minimum(g, gain_limit)
-        sv_sq = jnp.maximum(sigma2_sq - g * sigma12, 0.0)
         num_log = jnp.log2(1.0 + g * g * sigma1_sq / (sv_sq + SIGMA_NSQ))
         den_log = jnp.log2(1.0 + sigma1_sq / SIGMA_NSQ)
         num = jnp.where(log_branch, num_log, 1.0 - sigma2_sq * SIGMA_MAX_INV)

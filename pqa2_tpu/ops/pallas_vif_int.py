@@ -60,9 +60,10 @@ def _statistic_int(s1i, s2i, s12i, gain_limit):
     s12 = s12i.astype(jnp.float32) / 65536.0
     log_branch = s1i >= np.int32(SIGMA_NSQ_Q16)
     g = jnp.where(s12 > 0.0, s12 / jnp.maximum(s1, 1e-10), 0.0)
+    # NEG clamp after sv (libvmaf order; matches the exact statistic).
+    sv_sq = jnp.maximum(s2 - g * s12, 0.0)
     if math.isfinite(gain_limit):  # inf literals can break Mosaic
         g = jnp.minimum(g, gain_limit)
-    sv_sq = jnp.maximum(s2 - g * s12, 0.0)
     num_log = jnp.log2(1.0 + g * g * s1 / (sv_sq + 2.0))
     den_log = jnp.log2(1.0 + s1 / 2.0)
     num = jnp.where(log_branch, num_log, 1.0 - s2 * (4.0 / (255.0 * 255.0)))

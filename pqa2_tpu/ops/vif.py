@@ -41,8 +41,9 @@ def _statistic_default(mu1, mu2, xx, yy, xy, gain_limit: float):
     log_branch = sigma1_sq >= SIGMA_NSQ
 
     g = jnp.where(sigma12 > 0.0, sigma12 / jnp.maximum(sigma1_sq, EPS), 0.0)
-    g = jnp.minimum(g, gain_limit)
+    # NEG clamp after sv (libvmaf order; golden/vif.py).
     sv_sq = jnp.maximum(sigma2_sq - g * sigma12, 0.0)
+    g = jnp.minimum(g, gain_limit)
     num_log = jnp.log2(1.0 + g * g * sigma1_sq / (sv_sq + SIGMA_NSQ))
     den_log = jnp.log2(1.0 + sigma1_sq / SIGMA_NSQ)
 

@@ -13,10 +13,14 @@ exact uint32 split arithmetic:
   * ``(a*b + 2^31) >> 32`` (mu^2 / mu1*mu2): 16-bit limb products with
     explicit carry bits (_mul_shift32).
 
-The final num/den log statistic runs in f32 on the integer sigma planes
-(golden/vif_int.py documents why that last stage's quantisation is not
-modelled). All Python loops below are over filter taps / scales — static
-and unrolled at trace time; shapes stay (N, H, W) throughout.
+The num/den statistic is evaluated exactly as libvmaf's integer path
+does (since round 3): Q11 log2-LUT lookups on truncating 16-bit mantissas
+with exact integer accumulators, the double-precision gain chain
+reproduced via an exact u64/u32 long division plus f32 epsilon-boundary
+comparisons (see _statistic; golden/vif_int.py is the float64 oracle).
+The round-2 smooth-f32-log statistic remains as _statistic_fast
+(precision="integer_fast"). All Python loops below are over filter taps /
+scales — static and unrolled at trace time; shapes stay (N, H, W).
 """
 
 from __future__ import annotations
@@ -165,10 +169,10 @@ def _sigma_planes(
 def _statistic_fast(s1i, s2i, s12i, gain_limit: float):
     """num/den sums from int32 Q16 sigma planes — smooth f32 logs.
 
-    The round-2 throughput statistic: identical branch structure to the
-    exact path but with jnp.log2 instead of the LUT quantisation, and the
-    NEG clamp applied before sv (the classic reformulation). Pooled delta
-    vs the exact statistic is ~1e-5..1e-4 (pinned in tests); selected via
+    The round-2 throughput statistic: identical branch structure and
+    clamp order to the exact path but with jnp.log2 instead of the LUT
+    quantisation. Pooled feature delta vs the exact statistic is
+    ~1e-5..1e-4 (pinned in tests); selected via
     precision="integer_fast"."""
     s1 = jnp.maximum(s1i, 0).astype(jnp.float32) / 65536.0
     s2 = jnp.maximum(s2i, 0).astype(jnp.float32) / 65536.0
@@ -176,8 +180,9 @@ def _statistic_fast(s1i, s2i, s12i, gain_limit: float):
 
     log_branch = s1i >= SIGMA_NSQ_Q16
     g = jnp.where(s12 > 0.0, s12 / jnp.maximum(s1, 1e-10), 0.0)
-    g = jnp.minimum(g, gain_limit)
+    # NEG clamp after sv (libvmaf order; matches the exact statistic).
     sv_sq = jnp.maximum(s2 - g * s12, 0.0)
+    g = jnp.minimum(g, gain_limit)
     num_log = jnp.log2(1.0 + g * g * s1 / (sv_sq + 2.0))
     den_log = jnp.log2(1.0 + s1 / 2.0)
     num = jnp.where(log_branch, num_log, 1.0 - s2 * (4.0 / (255.0 * 255.0)))
