@@ -43,14 +43,23 @@ def resolve_precision(model, setting: Optional[str] = None) -> str:
 
     "integer" is the bit-faithful libvmaf fixed-point path including the
     LUT-quantised log statistic (the family integer models were trained
-    on); "integer_fast" swaps the statistic's LUT logs for smooth f32
-    logs (~1e-5..1e-4 pooled feature delta, pinned in tests) for
-    throughput-critical paths."""
+    on). "integer_fast" runs the identical integer moment pipeline but
+    smooths the statistic's LUT logs to f32 (~1e-4 pooled feature /
+    <=1e-3 score delta from the exact path, pinned in tests).
+
+    "auto" maps integer models to "integer_fast": the per-pixel table
+    lookups of the exact statistic have no fast lowering on TPU (measured
+    ~7 ns/gather — ~4 fps at 4K vs >100 fps fast), so the shipping
+    default is the fast statistic and the exact mode is the verification
+    path (bench.py parity_check and the bit-equality tests run it on
+    every backend). The choice is uniform across backends so results are
+    reproducible between CPU and TPU."""
     p = setting or FEATURE_PRECISION
     if p == "auto":
         if hasattr(model, "models"):  # bootstrap stack
             model = model.models[0]
-        return "integer" if getattr(model, "uses_integer_features", False) else "float"
+        return ("integer_fast"
+                if getattr(model, "uses_integer_features", False) else "float")
     if p not in ("float", "integer", "integer_fast"):
         raise ValueError(f"unknown feature precision {p!r}")
     return p
