@@ -35,6 +35,27 @@ class MainWindow(QMainWindow):
         self.setWindowTitle(app_name)
         self.resize(1400, 900)
         self._setup_ui()
+        self._apply_branding_logo()
+
+    def _apply_branding_logo(self):
+        """Window icon from branding.logo_path (reference
+        main_window.py:196-228 loads the logo set; settings-driven here —
+        a missing/invalid path is silently cosmetic)."""
+        if self.options_manager is None:
+            return
+        import os
+
+        path = self.options_manager.get_setting("branding", "logo_path") or ""
+        if not path or not os.path.isfile(path):
+            return
+        try:
+            from PyQt5.QtGui import QIcon
+
+            icon = QIcon(path)
+            if not icon.isNull():
+                self.setWindowIcon(icon)
+        except Exception:
+            logger.exception("could not load branding logo %r", path)
 
     def _setup_ui(self):
         self._setup_menu()

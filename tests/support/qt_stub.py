@@ -752,6 +752,14 @@ class QImage:
         pass
 
 
+class QIcon:
+    def __init__(self, *a, **k):
+        self.args = a
+
+    def isNull(self):
+        return False
+
+
 class QPixmap:
     def __init__(self, *a, **k):
         pass
@@ -796,6 +804,7 @@ def install():
         setattr(widgets, name, g[name])
 
     gui.QColor = QColor
+    gui.QIcon = QIcon
     gui.QPalette = QPalette
     gui.QImage = QImage
     gui.QPixmap = QPixmap
