@@ -30,10 +30,12 @@ def _add_score_args(p):
                    choices=["mean", "min", "max", "harmonic_mean"])
     p.add_argument("--subsample", type=int, default=1)
     p.add_argument("--precision", default="auto",
-                   choices=["auto", "integer", "float"],
+                   choices=["auto", "integer", "integer_fast", "float"],
                    help="feature family: auto follows the model (integer "
-                        "models -> the fixed-point path), float forces the "
-                        "faster f32 kernels")
+                        "models -> integer_fast, the fixed-point moments "
+                        "with the f32-log statistic); integer selects the "
+                        "exact LUT statistic (bit-faithful verification "
+                        "mode); float forces the f32 kernels")
     p.add_argument("--no-psnr", action="store_true")
     p.add_argument("--no-ssim", action="store_true")
 
