@@ -74,15 +74,17 @@ def bench_config(name, model_name, n, h, w, iters=4, log=print, backend=None,
 
     # Two alternating input pairs: distinct args per timed iteration (defeat
     # any backend memoizing) without holding iters+1 batches in HBM — the
-    # tunneled chip degrades under memory pressure.
+    # tunneled chip degrades under memory pressure. Uploads stay uint8
+    # (4x less H2D than f32 — minutes saved per 4K config in degraded
+    # tunnel windows); the feature paths cast on device.
     pairs = []
     for i in range(2):
         r = make_clip_u8(n, h, w, seed=2 * i)
         d = make_clip_u8(n, h, w, seed=2 * i + 1)
         pairs.append(
             (
-                jax.device_put(jnp.asarray(r, dtype=jnp.float32)),
-                jax.device_put(jnp.asarray(d, dtype=jnp.float32)),
+                jax.device_put(jnp.asarray(r)),
+                jax.device_put(jnp.asarray(d)),
             )
         )
 
@@ -93,8 +95,9 @@ def bench_config(name, model_name, n, h, w, iters=4, log=print, backend=None,
     times = []
     for i in range(iters):
         a, b = pairs[i % 2]
-        # Nudge the distorted input on device so each call has fresh args.
-        b = b + jnp.float32(0.25 * (i + 1))
+        # Nudge the distorted input on device so each call has fresh args
+        # (uint8 add wraps mod 256 — content is irrelevant here).
+        b = b + jnp.uint8(i + 1)
         jax.block_until_ready(b)
         t0 = time.perf_counter()
         jax.block_until_ready(step(a, b))
@@ -525,9 +528,18 @@ def main():
                 time.sleep(30)
                 return fn(*a, **kw)
 
-        # Headline (4K) first — best shot at a healthy tunnel window.
-        # 32-frame batches amortise the tunnel's fixed per-dispatch latency
-        # (~26 ms round trip regardless of payload).
+        # Cheapest config first: 1080p compiles in ~10-30 s even cold, so a
+        # parseable line (4K pixel-extrapolated, flagged) is on stdout
+        # within the first couple of minutes no matter what the 4K compile
+        # or a degraded tunnel window does to the rest of the run.
+        try:
+            fps_hd = bench_config("1080p vmaf_v0.6.1", "vmaf_v0.6.1",
+                                  16, 1080, 1920, log=log)
+            emit("1080p_estimate")
+        except Exception as e:
+            log(f"[bench] 1080p failed: {e}")
+        # Headline (4K) next — 32-frame batches amortise the tunnel's fixed
+        # per-dispatch latency (~26 ms round trip regardless of payload).
         n_4k = 32
         try:
             try:
@@ -570,16 +582,9 @@ def main():
             log(f"[bench] integer-path 4k failed: {e}")
         try:
             parity = parity_check(log)
-            emit("parity")
         except Exception as e:
             parity = {"error": str(e)}
             log(f"[bench] parity check failed: {e}")
-        try:
-            fps_hd = with_retry(
-                bench_config, "1080p vmaf_v0.6.1", "vmaf_v0.6.1",
-                32, 1080, 1920, log=log)
-        except Exception as e:
-            log(f"[bench] 1080p failed: {e}")
         if fps_4k is None and fps_hd is None:
             note = (note + "; " if note else "") + "device unavailable"
         emit("final")
