@@ -99,15 +99,7 @@ def decouple_int(
     o: Dict[str, np.ndarray], t: Dict[str, np.ndarray], gain_limit: float
 ) -> Tuple[Dict[str, np.ndarray], Dict[str, np.ndarray]]:
     """Integer decoupling on same-Q bands; returns integer (rst, add)."""
-    # Angle test in float32 — the documented emulation spec (the exact
-    # products need >64 bits; f32 keeps oracle and device identical).
-    oh, ov = o["h"].astype(np.float32), o["v"].astype(np.float32)
-    th, tv = t["h"].astype(np.float32), t["v"].astype(np.float32)
-    ot_dp = oh * th + ov * tv
-    cos_sq = np.float32(COS_1DEG_SQ)
-    angle_flag = (ot_dp >= 0.0) & (
-        ot_dp * ot_dp >= cos_sq * (oh * oh + ov * ov) * (th * th + tv * tv)
-    )
+    angle_flag = angle_flags_f32(o, t)
 
     rst: Dict[str, np.ndarray] = {}
     add: Dict[str, np.ndarray] = {}
@@ -135,6 +127,51 @@ def decouple_int(
         rst[band] = r
         add[band] = tb - r
     return rst, add
+
+
+def angle_flags_f32(
+    o: Dict[str, np.ndarray], t: Dict[str, np.ndarray]
+) -> np.ndarray:
+    """The <1-degree angle test in float32 on the integer bands — the
+    documented emulation spec shared by oracle and device (the exact
+    products need >64 bits). tests/test_integer.py audits its agreement
+    with :func:`exact_angle_flags`."""
+    oh, ov = o["h"].astype(np.float32), o["v"].astype(np.float32)
+    th, tv = t["h"].astype(np.float32), t["v"].astype(np.float32)
+    ot_dp = oh * th + ov * tv
+    cos_sq = np.float32(COS_1DEG_SQ)
+    return (ot_dp >= 0.0) & (
+        ot_dp * ot_dp >= cos_sq * (oh * oh + ov * ov) * (th * th + tv * tv)
+    )
+
+
+def exact_angle_flags(
+    o: Dict[str, np.ndarray], t: Dict[str, np.ndarray]
+) -> np.ndarray:
+    """The <1-degree angle test evaluated with EXACT integer arithmetic.
+
+    ``ot_dp >= 0 and ot_dp^2 >= cos^2(1deg) * |o|^2 * |t|^2`` where both
+    sides need up to ~119 bits (bands are < 2^16, cos^2 is a 53-bit dyadic
+    rational M/2^53). Python bignums over the flattened bands — an audit
+    tool for tests (tests/test_integer.py measures how often the f32
+    evaluation the production paths share disagrees with this), not a
+    production path."""
+    m, e = np.frexp(COS_1DEG_SQ)
+    mant = int(m * (1 << 53))  # COS_1DEG_SQ = mant * 2^(e-53), exact
+    shift = int(53 - int(e))  # plain int: a numpy shift would coerce int32
+    oh = o["h"].astype(object).ravel()
+    ov = o["v"].astype(object).ravel()
+    th = t["h"].astype(object).ravel()
+    tv = t["v"].astype(object).ravel()
+    out = np.zeros(oh.shape[0], dtype=bool)
+    for i in range(oh.shape[0]):
+        dp = int(oh[i]) * int(th[i]) + int(ov[i]) * int(tv[i])
+        if dp < 0:
+            continue
+        omag = int(oh[i]) ** 2 + int(ov[i]) ** 2
+        tmag = int(th[i]) ** 2 + int(tv[i]) ** 2
+        out[i] = (dp * dp) << shift >= mant * omag * tmag
+    return out.reshape(o["h"].shape)
 
 
 def adm_features_int(

