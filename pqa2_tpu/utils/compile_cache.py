@@ -42,6 +42,17 @@ def enable_compilation_cache() -> bool:
         os.makedirs(cache_dir, exist_ok=True)
         import jax
 
+        # TPU executables only. XLA:CPU persists AOT artifacts keyed to the
+        # COMPILE machine's feature set; loading them under a different
+        # feature mask logs "could lead to execution errors such as SIGILL"
+        # and has produced real interpreter crashes here (full-suite
+        # segfault, round 3). CPU compiles are cheap; the cache's value is
+        # the minutes-long tunnel Mosaic compiles.
+        if jax.default_backend() != "tpu":
+            logger.debug("persistent compilation cache skipped on %s",
+                         jax.default_backend())
+            return False
+
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         # Cache everything that took meaningful compile time; the default
         # threshold (1 s) would skip many small-but-slow-over-the-wire
