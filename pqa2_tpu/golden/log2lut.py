@@ -75,6 +75,46 @@ def normalize16(x: np.ndarray) -> tuple:
     return v.astype(np.int64), k
 
 
+_BREAKPOINTS = None
+
+
+def breakpoints_ext() -> np.ndarray:
+    """Sorted step positions of the table — the gather-free device form.
+
+    ``t[m] = log2_table()[m]`` is monotone over m in [2^15, 2^16) with unit
+    steps through exactly 2049 values [30720, 32768].  Device backends
+    (ops/pallas_vif_int.py) therefore recover t[m] exactly WITHOUT a
+    per-pixel gather, from an approximate f32 candidate plus comparisons
+    against the integer breakpoints returned here:
+
+        u(m) = t[m] - 30720 = #{ j in [1, 2048] : B[j] <= m }
+             = idx - 2 + [m >= B(idx-1)] + [m >= B(idx)] + [m >= B(idx+1)]
+
+    for ANY candidate ``idx = clip(round(log2~(m) * 2048) - 30720, 1,
+    2048)`` within +-1 of the true value — a window every f32 log2 meets
+    with ~100x margin (pinned exhaustively in tests/test_integer.py).
+
+    Returns int32 ``B_ext[0..2049]``: B_ext[j] for j in [1, 2048] is the
+    smallest mantissa with ``t[m] = 30720 + j``; B_ext[0] = 32768 (<=
+    every mantissa) and B_ext[2049] = 65536 (> every mantissa) close the
+    formula at the clip edges.  Consecutive differences lie in [6, 23],
+    so (B>>8, B&255, dB) all pack exactly into bfloat16 for the MXU
+    one-hot fetch.
+    """
+    global _BREAKPOINTS
+    if _BREAKPOINTS is None:
+        t = log2_table().astype(np.int64)
+        m_all = np.arange(32768, 65536)
+        js = np.arange(1, 2049)
+        first = np.searchsorted(t[m_all], 30720 + js, side="left")
+        ext = np.empty(2050, dtype=np.int32)
+        ext[0] = 32768
+        ext[1:2049] = m_all[first]
+        ext[2049] = 65536
+        _BREAKPOINTS = ext
+    return _BREAKPOINTS
+
+
 def log2_q11(x: np.ndarray) -> np.ndarray:
     """Quantised log2 exactly as the integer path computes it.
 

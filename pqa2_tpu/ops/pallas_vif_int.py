@@ -38,9 +38,10 @@ from pqa2_tpu.golden.fixedpoint import (
     SIGMA_NSQ_Q16,
     VIF_FILTERS_Q16,
 )
-# Exact (a*b + 2^31) >> 32 in 16-bit limbs — one definition shared with the
-# XLA twin (pure jnp, lowers fine inside Mosaic kernels).
-from pqa2_tpu.ops.vif_int import _mul_shift32
+# Exact arithmetic shared with the XLA twin (pure jnp, lowers fine inside
+# Mosaic kernels): (a*b + 2^31) >> 32 in 16-bit limbs, and the per-pixel
+# element stage of the exact LUT statistic (u32 split math, no gather).
+from pqa2_tpu.ops.vif_int import _mul_shift32, _statistic_element
 
 DEFAULT_TILE_H = 64
 TILE_W = 512
@@ -50,6 +51,166 @@ _MASK16 = np.uint32(0xFFFF)
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
+
+
+_BP_PLANES = None
+
+
+def _bp_planes() -> jnp.ndarray:
+    """(64, 128) bf16 pack of the log2-LUT breakpoints for the in-kernel
+    one-hot MXU fetch (golden/log2lut.py:breakpoints_ext).
+
+    For jdx = 16*h + l in [0, 2048) the four planes b hold small exact
+    integers (<= 256, bf16-exact) at [16*b + l, h]:
+
+      b=0: B[jdx+1] >> 8     b=2: B[jdx+1] - B[jdx]   (d_prev)
+      b=1: B[jdx+1] & 255    b=3: B[jdx+2] - B[jdx+1] (d_next)
+
+    so A = planes @ onehot(h) followed by a 16-row select on l yields the
+    breakpoint triple around any candidate index, and the statistic's
+    quantised log2 is recovered exactly from three integer comparisons.
+    """
+    global _BP_PLANES
+    if _BP_PLANES is None:
+        from pqa2_tpu.golden.log2lut import breakpoints_ext
+
+        ext = breakpoints_ext().astype(np.int64)
+        jdx = np.arange(2048)
+        cur = ext[jdx + 1]
+        planes = np.stack(
+            [cur >> 8, cur & 255, cur - ext[jdx], ext[jdx + 2] - cur], 0
+        )
+        # (4, 2048) -> [16*b + l, h]
+        pack = np.zeros((64, 128), dtype=np.float32)
+        for b in range(4):
+            pack[16 * b:16 * (b + 1), :] = (
+                planes[b].reshape(128, 16).T
+            )
+        _BP_PLANES = pack  # cache host-side: callers may be inside a jit
+    return jnp.asarray(_BP_PLANES, dtype=jnp.bfloat16)
+
+
+def _fused_exact_slots(s1, s2, s12, gain_limit, valid, tile_w, planes):
+    """Exact LUT statistic fully inside the kernel.
+
+    Runs the twin's element stage (ops/vif_int.py:_statistic_element) on
+    the tile, evaluates the three Q11 log lookups per log-branch pixel
+    via the gather-free breakpoint scheme (f32 log2 candidate, +-1-safe,
+    corrected by integer comparisons against the exact breakpoints
+    fetched with a one-hot bf16 matmul — MXU work, which the statistic
+    phase otherwise leaves idle), and reduces everything to per-tile
+    integer partial sums split into 12-bit pieces so the f32 accumulator
+    block stays exact across <= 4096 tiles.  vif_int_scale_pallas
+    recombines the pieces into _statistic's exact (hi, lo) pairs — the
+    final f32 num/den are bit-identical to the XLA twin.
+
+    Returns [(acc column, f32 scalar), ...] for columns 4..20.
+    """
+    lb, nb, k_den, m_den, num_k, m1, m2, s2m = _statistic_element(
+        s1, s2, s12, gain_limit
+    )
+    i32 = jnp.int32
+    f32 = jnp.float32
+    tw = tile_w
+    w3 = 3 * tw
+    rows = s1.shape[0]
+    lbv = lb & valid
+    nbv = nb & valid
+    zero = i32(0)
+
+    num_tab_s = zero
+    den_tab_s = zero
+    # C rows per one-hot matmul (lane-axis concat keeps Mosaic happy —
+    # no cross-sublane reshape): 4x fewer, 4x larger MXU ops than the
+    # row-at-a-time form, and a 4x smaller unrolled trace.
+    chunk = 4 if rows % 4 == 0 else 1
+    wc = chunk * w3
+    for c0 in range(0, rows, chunk):
+        parts = []
+        for r_i in range(c0, c0 + chunk):
+            sl = slice(r_i, r_i + 1)
+            parts += [m_den[sl, :tw], m1[sl, :tw], m2[sl, :tw]]
+        mcat = jnp.concatenate(parts, axis=1).astype(i32)  # < 2^16: exact
+        mf = mcat.astype(f32)
+        idxf = jnp.clip(
+            jnp.round(jnp.log2(mf) * 2048.0) - 30720.0, 1.0, 2048.0
+        )
+        jdx = idxf.astype(i32) - 1
+        ht = (
+            jax.lax.broadcasted_iota(i32, (128, wc), 0) == (jdx >> 4)
+        ).astype(jnp.bfloat16)
+        at = jax.lax.dot_general(
+            planes, ht, (((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )  # (64, wc): rows 16b+l hold plane_b at l = jdx & 15
+        lt = (
+            jax.lax.broadcasted_iota(i32, (16, wc), 0) == (jdx & 15)
+        ).astype(f32)
+        v0 = jnp.sum(at[0:16] * lt, axis=0, keepdims=True)
+        v1 = jnp.sum(at[16:32] * lt, axis=0, keepdims=True)
+        v2 = jnp.sum(at[32:48] * lt, axis=0, keepdims=True)
+        v3 = jnp.sum(at[48:64] * lt, axis=0, keepdims=True)
+        cur = v0 * 256.0 + v1
+        u = (
+            idxf
+            - 2.0
+            + (mf >= cur - v2).astype(f32)
+            + (mf >= cur).astype(f32)
+            + (mf >= cur + v3).astype(f32)
+        )
+        tv = (u + 30720.0).astype(i32)  # t[m], exact
+        for k_i in range(chunk):
+            base = 3 * k_i * tw
+            sl = slice(c0 + k_i, c0 + k_i + 1)
+            t_den = tv[:, base:base + tw]
+            t_num = (tv[:, base + tw:base + 2 * tw]
+                     - tv[:, base + 2 * tw:base + 3 * tw])
+            den_tab_s = den_tab_s + jnp.sum(
+                jnp.where(lbv[sl, :tw], t_den, zero)
+            )
+            num_tab_s = num_tab_s + jnp.sum(
+                jnp.where(nbv[sl, :tw], t_num, zero)
+            )
+
+    num_k_s = jnp.sum(jnp.where(nbv, num_k, zero))
+    den_k_s = jnp.sum(jnp.where(lbv, k_den, zero))
+    n_log_s = jnp.sum(lbv.astype(i32))
+
+    def pieces3(s):  # i32 (signed-safe): s = p2*2^24 + p1*2^12 + p0
+        return [
+            (s >> 24).astype(f32),
+            ((s >> 12) & 4095).astype(f32),
+            (s & 4095).astype(f32),
+        ]
+
+    def pieces2(s):  # i32 in [0, 2^24)
+        return [(s >> 12).astype(f32), (s & 4095).astype(f32)]
+
+    def split_sum(vals):
+        """u32 values < 2^16 over the tile -> 12-bit pieces of the exact
+        total (the total can reach 2^31.3: reduce halves in i32, combine
+        in u32 — Mosaic has no u32 reduction or u32<->f32 casts)."""
+        half = rows // 2
+        a = jnp.sum(vals[:half].astype(i32))
+        b = jnp.sum(vals[half:].astype(i32))
+        tot = a.astype(jnp.uint32) + b.astype(jnp.uint32)
+        return [
+            (tot >> 24).astype(i32).astype(f32),
+            ((tot >> 12) & jnp.uint32(4095)).astype(i32).astype(f32),
+            (tot & jnp.uint32(4095)).astype(i32).astype(f32),
+        ]
+
+    s2mv = jnp.where(valid, s2m, jnp.uint32(0))
+    vals = (
+        pieces3(num_tab_s)
+        + pieces3(den_tab_s)
+        + pieces2(num_k_s)
+        + pieces2(den_k_s)
+        + [n_log_s.astype(f32)]
+        + split_sum(s2mv >> 16)
+        + split_sum(s2mv & jnp.uint32(0xFFFF))
+    )
+    return [(4 + i, v) for i, v in enumerate(vals)]
 
 
 def _statistic_int(s1i, s2i, s12i, gain_limit):
@@ -73,7 +234,8 @@ def _statistic_int(s1i, s2i, s12i, gain_limit):
 
 def _make_int_kernel(taps: np.ndarray, tile_h: int, tile_w: int,
                      h: int, w: int, gain_limit: float, in_q: int,
-                     next_taps=None, with_motion=False, emit_sigma=False):
+                     next_taps=None, with_motion=False, emit_sigma=False,
+                     exact_fused=False):
     k = len(taps)
     half = k // 2
     rows = tile_h + 2 * half
@@ -82,8 +244,10 @@ def _make_int_kernel(taps: np.ndarray, tile_h: int, tile_w: int,
     taps_u = [int(t) for t in taps]
     u32 = jnp.uint32
 
-    def kernel(ref_hbm, dist_hbm, acc_ref, *rest):
+    def kernel(ref_hbm, dist_hbm, *rest):
         rest = list(rest)
+        bp_ref = rest.pop(0) if exact_fused else None
+        acc_ref = rest.pop(0)
         if emit_sigma:
             s1_out = rest.pop(0)
             s2_out = rest.pop(0)
@@ -233,14 +397,21 @@ def _make_int_kernel(taps: np.ndarray, tile_h: int, tile_w: int,
             & (col_id + j * tile_w < w)
             & (row_id + t * tile_h < h)
         )
+        exact_slots = []
         if emit_sigma:
-            # Exact-statistic mode: the per-pixel int32 sigma planes go to
+            # Hybrid exact mode: the per-pixel int32 sigma planes go to
             # HBM; the LUT statistic (ops/vif_int.py:_statistic) consumes
-            # them in XLA, where the table gather exists. num/den are not
-            # computed here.
+            # them in XLA with the table gather. num/den are not computed
+            # here. (Fallback path — exact_fused replaces it.)
             s1_out[0] = s1[:, :tile_w]
             s2_out[0] = s2[:, :tile_w]
             s12_out[0] = s12[:, :tile_w]
+            num_s = den_s = jnp.float32(0.0)
+        elif exact_fused:
+            exact_slots = _fused_exact_slots(
+                s1, s2, s12, gain_limit, valid, tile_w,
+                bp_ref[...],
+            )
             num_s = den_s = jnp.float32(0.0)
         else:
             num, den = _statistic_int(s1, s2, s12, gain_limit)
@@ -273,13 +444,13 @@ def _make_int_kernel(taps: np.ndarray, tile_h: int, tile_w: int,
 
         row_id = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
         col_id = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
-        blk = jnp.where(
-            (row_id == 0) & (col_id == 0), num_s,
-            jnp.where((row_id == 0) & (col_id == 1), den_s, 0.0),
-        )
+        writes = [(0, num_s), (1, den_s)]
         if sad_hi is not None:
-            blk = jnp.where((row_id == 0) & (col_id == 2), sad_hi, blk)
-            blk = jnp.where((row_id == 0) & (col_id == 3), sad_lo, blk)
+            writes += [(2, sad_hi), (3, sad_lo)]
+        writes += exact_slots
+        blk = jnp.zeros((8, 128), jnp.float32)
+        for col, val in writes:
+            blk = jnp.where((row_id == 0) & (col_id == col), val, blk)
 
         first = (t == 0) & (j == 0)
 
@@ -294,10 +465,57 @@ def _make_int_kernel(taps: np.ndarray, tile_h: int, tile_w: int,
     return kernel, rows
 
 
+def _recombine_exact(a: jnp.ndarray, h: int, w: int):
+    """Accumulator row (n, 128) of 12-bit piece sums -> per-frame exact
+    (num, den), reproducing ops/vif_int.py:_statistic's final reduction
+    BIT-FOR-BIT: each integer total is reassembled as the same normalised
+    (hi, lo) base-2^16 pair _sum_pair produces (the pair of an integer is
+    unique), then pushed through the identical f32 expression."""
+    i32 = jnp.int32
+    f32 = jnp.float32
+
+    def geti(c):
+        return a[:, c].astype(i32)
+
+    def rec3(c):
+        # s = p2*2^24 + p1*2^12 + p0 (p1, p0 in [0, 4096)): the exact
+        # (hi, lo) pair is hi = p2*256 + (p1>>4), lo = (p1&15)*4096 + p0
+        # (lo < 2^16 always, so no carry).
+        p2, p1, p0 = geti(c), geti(c + 1), geti(c + 2)
+        return p2 * 256 + (p1 >> 4), ((p1 & 15) << 12) + p0
+
+    def rec2(c):
+        return (geti(c) << 12) + geti(c + 1)
+
+    def pf(pair):
+        hi, lo = pair
+        return hi.astype(f32) * 65536.0 + lo.astype(f32)
+
+    acc_num_tab = rec3(4)
+    acc_den_tab = rec3(7)
+    acc_num_k = rec2(10)
+    acc_den_k = rec2(12)
+    n_log = geti(14)
+    n_flat = jnp.int32(h * w) - n_log
+    flat_hi = rec3(15)
+    flat_lo = rec3(18)
+    acc_flat = pf(flat_hi) * 65536.0 + pf(flat_lo)
+    num = (pf(acc_num_tab) / 2048.0
+           + acc_num_k.astype(f32)
+           + (n_flat.astype(f32)
+              - (acc_flat / 16384.0) / 65025.0))
+    den = (pf(acc_den_tab) / 2048.0
+           + acc_den_k.astype(f32)
+           - 17.0 * n_log.astype(f32)
+           + n_flat.astype(f32))
+    return num, den
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("scale", "gain_limit", "in_q", "tile_h", "interpret",
-                     "emit_next", "with_motion", "emit_sigma"),
+                     "emit_next", "with_motion", "emit_sigma",
+                     "exact_fused"),
 )
 def vif_int_scale_pallas(
     ref: jnp.ndarray,
@@ -310,11 +528,14 @@ def vif_int_scale_pallas(
     emit_next: bool = False,
     with_motion: bool = False,
     emit_sigma: bool = False,
+    exact_fused: bool = False,
 ):
     """uint32 (N, H, W) pair (Q{in_q} pixels) at this scale's resolution ->
     (num, den[, sad][, ref', dist']) — or, with ``emit_sigma``,
     (s1, s2, s12[, sad][, ref', dist']) int32 sigma planes for the exact
-    XLA LUT statistic."""
+    XLA LUT statistic.  ``exact_fused`` computes the exact LUT statistic
+    inside the kernel (gather-free breakpoint scheme) and returns
+    (num, den, ...) bit-identical to ops/vif_int.py:_statistic."""
     taps = VIF_FILTERS_Q16[scale]
     n, h, w = ref.shape
     min_th = 16 if emit_next else 8
@@ -344,6 +565,7 @@ def vif_int_scale_pallas(
     kernel, rows = _make_int_kernel(
         taps, tile_h, tile_w, h, w, gain_limit, in_q,
         next_taps=next_taps, with_motion=with_motion, emit_sigma=emit_sigma,
+        exact_fused=exact_fused,
     )
     out_specs = [
         pl.BlockSpec((1, 8, 128), lambda i, j, k2: (i, 0, 0),
@@ -368,13 +590,22 @@ def vif_int_scale_pallas(
         ]
         out_shape += [jax.ShapeDtypeStruct((n, h2, w2), jnp.uint32)] * 2
 
+    in_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
+    inputs = [ref_p, dist_p]
+    if exact_fused:
+        in_specs.append(
+            pl.BlockSpec((64, 128), lambda i, j, k2: (0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        inputs.append(_bp_planes())
+
     out = pl.pallas_call(
         kernel,
         grid=(n, num_tiles, num_w_tiles),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
@@ -383,7 +614,7 @@ def vif_int_scale_pallas(
             pltpu.SemaphoreType.DMA((3 if with_motion else 2,)),
         ],
         interpret=interpret,
-    )(ref_p, dist_p)
+    )(*inputs)
 
     acc = out[0]
     nxt = 1
@@ -391,6 +622,8 @@ def vif_int_scale_pallas(
         # Padded tile grids -> the true (n, h, w) planes.
         res = [out[nxt + i][:, :h, :w] for i in range(3)]
         nxt += 3
+    elif exact_fused:
+        res = list(_recombine_exact(acc[:, 0, :], h, w))
     else:
         res = [acc[:, 0, 0], acc[:, 0, 1]]
     if with_motion:
@@ -411,6 +644,7 @@ def vif_features_int_pallas(
     with_motion: bool = False,
     bit_depth: int = 8,
     exact: bool = True,
+    exact_impl: str = "fused",
 ):
     """(N, H, W) luma pair -> (N, 4) integer-path VIF via the fused cascade.
 
@@ -420,34 +654,45 @@ def vif_features_int_pallas(
     SAD of the reference luma and the return becomes ((N, 4), (N,) sad)
     — sad[i] = mean |blur(ref[i]) - blur(ref[i-1])|, sad[0] = 0.
 
-    exact=True (default): the kernels emit int32 sigma planes and the
-    statistic runs in XLA with libvmaf's LUT log quantisation — the
-    bit-faithful hybrid (the per-pixel table gather has no Mosaic
-    lowering). exact=False keeps the round-2 fully-fused f32-log
-    statistic (precision="integer_fast").
+    exact=True (default) evaluates libvmaf's LUT log quantisation with
+    integer accumulators, bit-identical to the XLA twin.  exact_impl
+    picks how: "fused" (default) runs the whole statistic inside the
+    kernels via the gather-free breakpoint scheme (round 3 — the per-
+    pixel table gather that forced the old hybrid has no Mosaic lowering
+    AND is ~10 ns/elt in XLA); "hybrid" keeps the round-3 fallback that
+    emits int32 sigma planes for the XLA take-based statistic.
+    exact=False keeps the round-2 fully-fused f32-log statistic
+    (precision="integer_fast").
     """
     if not interpret and jax.default_backend() != "tpu":
         interpret = True
 
     from pqa2_tpu.ops.vif_int import (
-        _log2_table_device,
+        _breakpoints_device,
         _statistic,
         to_native_grid,
     )
 
+    hybrid = exact and exact_impl == "hybrid"
     ref, in_q = to_native_grid(ref, bit_depth)
     dist, _ = to_native_grid(dist, bit_depth)
-    table = _log2_table_device() if exact else None
+    table = _breakpoints_device() if hybrid else None
     feats = []
     sad = None
+    # Interpret mode (CPU tests): small tiles — the kernel's unrolled
+    # row loop makes trace/compile time scale with tile_h, and there is
+    # no VMEM-efficiency reason to use big tiles off-chip.
+    tile_h = 16 if interpret else DEFAULT_TILE_H
     for scale in range(4):
         out = vif_int_scale_pallas(
             ref, dist, scale, gain_limit=gain_limit, in_q=in_q,
+            tile_h=tile_h,
             interpret=interpret, emit_next=scale < 3,
             with_motion=with_motion and scale == 0,
-            emit_sigma=exact,
+            emit_sigma=hybrid,
+            exact_fused=exact and not hybrid,
         )
-        if exact:
+        if hybrid:
             s1, s2, s12 = out[0], out[1], out[2]
             rest = list(out[3:])
             num, den = _statistic(s1, s2, s12, gain_limit, table)

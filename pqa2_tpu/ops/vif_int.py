@@ -25,8 +25,10 @@ scales — static and unrolled at trace time; shapes stay (N, H, W).
 
 from __future__ import annotations
 
+import functools
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -228,6 +230,22 @@ def _mul_split(a: jnp.ndarray, b: jnp.ndarray):
     return hi, lo2
 
 
+def _u32_f32(v: jnp.ndarray) -> jnp.ndarray:
+    """u32 -> f32, Mosaic-safe (no direct u32<->f32 convert on TPU).
+
+    hi*65536 is exact (hi < 2^16) and lo is exact, so the single f32 add
+    rounds once — bit-identical to a direct correctly-rounded cast for
+    every u32 value."""
+    hi = (v >> 16).astype(jnp.int32).astype(jnp.float32)
+    lo = (v & _MASK16).astype(jnp.int32).astype(jnp.float32)
+    return hi * jnp.float32(65536.0) + lo
+
+
+def _f32_u32(v: jnp.ndarray) -> jnp.ndarray:
+    """f32 -> u32 for values in [0, 2^31): the i32 route is exact."""
+    return v.astype(jnp.int32).astype(_U32)
+
+
 def _pair_sub(a_hi, a_lo, b_hi, b_lo):
     """(a - b) on u32 pairs -> (hi, lo, borrow) with borrow in {0,1}."""
     lo = a_lo - b_lo
@@ -246,7 +264,7 @@ def _div_u64_u32(p_hi: jnp.ndarray, p_lo: jnp.ndarray, d: jnp.ndarray):
     quotient as a u32 pair (it can exceed 32 bits when p ~ 2^62 and
     d ~ 2^17) and the final remainder r < d.
     """
-    df = d.astype(jnp.float32)
+    df = _u32_f32(d)
     limbs = [p_hi >> 16, p_hi & _MASK16, p_lo >> 16, p_lo & _MASK16]
     rem_hi = jnp.zeros_like(d)
     rem_lo = jnp.zeros_like(d)
@@ -256,10 +274,9 @@ def _div_u64_u32(p_hi: jnp.ndarray, p_lo: jnp.ndarray, d: jnp.ndarray):
         # leading zeros before the shift, so no bits are lost)
         rem_hi = (rem_hi << 16) | (rem_lo >> 16)
         rem_lo = ((rem_lo & _MASK16) << 16) | limb
-        remf = rem_hi.astype(jnp.float32) * jnp.float32(2.0**32) \
-            + rem_lo.astype(jnp.float32)
+        remf = _u32_f32(rem_hi) * jnp.float32(2.0**32) + _u32_f32(rem_lo)
         q = jnp.floor(remf / df)
-        q = jnp.clip(q, 0.0, 65536.0).astype(_U32)
+        q = _f32_u32(jnp.clip(q, 0.0, 65536.0))
         # exact fixup: rem2 = rem - q*d, then the bounded +-1 adjustments
         # (the f32 estimate's absolute error is (rem/d)*~1.2e-7 < 0.01 for
         # digits < 2^16, so only the floor boundary can put it off by one)
@@ -284,15 +301,25 @@ def _div_u64_u32(p_hi: jnp.ndarray, p_lo: jnp.ndarray, d: jnp.ndarray):
     return q_hi, q_lo, rem_lo
 
 
+def _bitlen32(v: jnp.ndarray) -> jnp.ndarray:
+    """Exact bit length of u32 (0 -> 0) — branchless shift cascade.
+
+    Used instead of jax.lax.clz so the identical code also lowers inside
+    Mosaic kernels (ops/pallas_vif_int.py fused exact statistic)."""
+    v = v.astype(_U32)
+    n = jnp.zeros(v.shape, jnp.int32)
+    for step in (16, 8, 4, 2, 1):
+        over = v >= (_U32(1) << np.uint32(step))
+        v = jnp.where(over, v >> np.uint32(step), v)
+        n = n + jnp.where(over, step, 0)
+    return n + (v > 0).astype(jnp.int32)
+
+
 def _norm16_pair(v_hi: jnp.ndarray, v_lo: jnp.ndarray):
     """Truncating normalisation of a u32 pair (value >= 2^17) into
     [2^15, 2^16): returns (mantissa u32, shift k i32) — libvmaf's
     get_best16_from64."""
-    import jax
-
-    bl_hi = 32 - jax.lax.clz(v_hi)  # 0 when hi == 0
-    bl_lo = 32 - jax.lax.clz(v_lo)
-    bitlen = jnp.where(v_hi > 0, 32 + bl_hi, bl_lo)
+    bitlen = jnp.where(v_hi > 0, 32 + _bitlen32(v_hi), _bitlen32(v_lo))
     k = bitlen - 16  # >= 1 for v >= 2^17
     # m = v >> k, assembled from the two limbs (k in [1, 46])
     k_lo = jnp.clip(k, 0, 31).astype(_U32)
@@ -308,15 +335,19 @@ def _norm16_pair(v_hi: jnp.ndarray, v_lo: jnp.ndarray):
     return m, k
 
 
-def _statistic(s1i, s2i, s12i, gain_limit: float, table: jnp.ndarray):
-    """Exact libvmaf integer num/den statistic (golden/vif_int.py twin).
+def _statistic_element(s1i, s2i, s12i, gain_limit: float):
+    """Per-pixel element stage of the exact statistic — everything up to
+    (but excluding) the Q11 table lookups and the reductions.
 
-    Per-pixel logs through the Q11 LUT on truncating 16-bit mantissas with
-    integer accumulation; the double-precision gain chain is reproduced
-    with an exact u64/u32 integer division plus epsilon-boundary
-    corrections evaluated in f32 (the only non-integer step — boundary
-    flips need |frac - c| ~< 1e-6, measure-zero on real content; see
-    docs/CALIBRATION.md)."""
+    Pure u32/f32 arithmetic with no gather and no clz, so the IDENTICAL
+    code runs in the XLA twin (_statistic) and inside the fused Mosaic
+    kernel (ops/pallas_vif_int.py).  Returns per-pixel tensors:
+
+      lb, nb          log / numerator branch masks (bool)
+      k_den (i32), m_den (u32)   den = table[m_den] + 2048*k_den
+      num_k (i32), m1, m2 (u32)  num = table[m1] - table[m2] + 2048*num_k
+      s2m (u32)       flat-branch sigma2 (0 on the log branch)
+    """
     s1 = jnp.maximum(s1i, 0).astype(_U32)
     s2 = jnp.maximum(s2i, 0).astype(_U32)
     log_branch = s1i >= SIGMA_NSQ_Q16
@@ -325,13 +356,10 @@ def _statistic(s1i, s2i, s12i, gain_limit: float, table: jnp.ndarray):
 
     nsq = _U32(SIGMA_NSQ_Q16)
 
-    # --- den: log2(sigma_nsq + s1) via LUT ------------------------------
+    # --- den: log2(sigma_nsq + s1) mantissa/shift -----------------------
     den_in = nsq + s1
-    import jax
-
-    k_den = (32 - jax.lax.clz(den_in)) - 16
+    k_den = _bitlen32(den_in) - 16
     m_den = den_in >> jnp.clip(k_den, 0, 31).astype(_U32)
-    den_tab = jnp.take(table, m_den.astype(jnp.int32))
 
     # --- num: q, r = divmod(s12^2, s1); boundary-corrected truncations ---
     d = jnp.where(num_branch, s1, _U32(1) << 20)  # masked lanes: safe d
@@ -339,10 +367,9 @@ def _statistic(s1i, s2i, s12i, gain_limit: float, table: jnp.ndarray):
     q_hi, q_lo, r = _div_u64_u32(p_hi, p_lo, d)
     # q as f32 for the epsilon-boundary terms (exact integer compare uses
     # the pair form below)
-    qf = q_hi.astype(jnp.float32) * jnp.float32(2.0**32) \
-        + q_lo.astype(jnp.float32)
-    s1f = d.astype(jnp.float32)
-    rf = r.astype(jnp.float32)
+    qf = _u32_f32(q_hi) * jnp.float32(2.0**32) + _u32_f32(q_lo)
+    s1f = _u32_f32(d)
+    rf = _u32_f32(r)
     fracf = rf / s1f
     epsf = jnp.float32(_EPS64)
     # c1 = (q+frac)*eps/(s1+eps): sv crosses one integer down iff frac > c1
@@ -368,40 +395,81 @@ def _statistic(s1i, s2i, s12i, gain_limit: float, table: jnp.ndarray):
                    (fracf < c2)).astype(_U32)  # borrow
     if np.isfinite(gain_limit):
         gl = jnp.float32(gain_limit)
-        clamp = s12.astype(jnp.float32) > gl * s1f
+        clamp = _u32_f32(s12) > gl * s1f
         gl2s1 = jnp.floor(gl * gl * s1f)  # exact when limit == 1.0
-        t_lo = jnp.where(clamp, gl2s1.astype(_U32), t_lo)
+        t_lo = jnp.where(clamp, _f32_u32(gl2s1), t_lo)
         t_hi = jnp.where(clamp, _U32(0), t_hi)
 
     numer1 = sv + nsq  # < 2^31 + 2^17: fits u32
     nt_lo = t_lo + numer1
     nt_hi = t_hi + (nt_lo < t_lo).astype(_U32)
     m1, k1 = _norm16_pair(nt_hi, nt_lo)
-    k2 = (32 - jax.lax.clz(numer1)) - 16
+    k2 = _bitlen32(numer1) - 16
     m2 = numer1 >> jnp.clip(k2, 0, 31).astype(_U32)
-    num_tab = jnp.take(table, m1.astype(jnp.int32)) \
-        - jnp.take(table, m2.astype(jnp.int32))
     num_k = k1 - k2
+
+    s2m = jnp.where(log_branch, _U32(0), s2)
+    return log_branch, num_branch, k_den, m_den, num_k, m1, m2, s2m
+
+
+def _log2_q11_bp(m: jnp.ndarray, bp: jnp.ndarray) -> jnp.ndarray:
+    """Exact t[m] = round(log2f(m) * 2048) for mantissas in [2^15, 2^16)
+    WITHOUT the 65537-entry table gather: f32 candidate + three
+    comparisons against the exact integer breakpoints
+    (golden/log2lut.py:breakpoints_ext — correct for any candidate within
+    +-1 of the true index, pinned exhaustively in tests/test_log2lut.py).
+
+    Two wins over ``jnp.take(log2_table, m)``: the small table never
+    triggers XLA:CPU's pathological big-constant-gather compiles
+    (minutes per program), and it is the same scheme the fused Mosaic
+    kernel uses (ops/pallas_vif_int.py), so twin and kernel share the
+    proof."""
+    mi = m.astype(jnp.int32)
+    idx = jnp.clip(
+        jnp.round(jnp.log2(mi.astype(jnp.float32)) * jnp.float32(2048.0))
+        - jnp.float32(30720.0), 1.0, 2048.0
+    ).astype(jnp.int32)
+    u = (
+        idx - 2
+        + (mi >= jnp.take(bp, idx - 1)).astype(jnp.int32)
+        + (mi >= jnp.take(bp, idx)).astype(jnp.int32)
+        + (mi >= jnp.take(bp, idx + 1)).astype(jnp.int32)
+    )
+    return u + jnp.int32(30720)
+
+
+def _statistic(s1i, s2i, s12i, gain_limit: float, bp: jnp.ndarray):
+    """Exact libvmaf integer num/den statistic (golden/vif_int.py twin).
+
+    Per-pixel logs through the Q11 LUT on truncating 16-bit mantissas with
+    integer accumulation; the double-precision gain chain is reproduced
+    with an exact u64/u32 integer division plus epsilon-boundary
+    corrections evaluated in f32 (the only non-integer step — boundary
+    flips need |frac - c| ~< 1e-6, measure-zero on real content; see
+    docs/CALIBRATION.md).  ``bp`` is the breakpoint table from
+    _breakpoints_device() (the LUT in gather-free form)."""
+    lb, nb, k_den, m_den, num_k, m1, m2, s2m = _statistic_element(
+        s1i, s2i, s12i, gain_limit
+    )
+    den_tab = _log2_q11_bp(m_den, bp)
+    num_tab = _log2_q11_bp(m1, bp) - _log2_q11_bp(m2, bp)
 
     # --- exact integer accumulators, one f32 rounding at the end --------
     # Table values are 16-bit and frames are <= ~8.3M pixels, so a plain
     # i32 reduction overflows at 4K. _sum_pair keeps the sums exact as
     # (hi, lo) pairs (value = hi*65536 + lo) with hi < 2^24 — both pieces
     # exactly representable in f32, so the combined value rounds once.
-    nb = num_branch
-    lb = log_branch
     zero = jnp.int32(0)
     acc_num_tab = _sum_pair(jnp.where(nb, num_tab, zero))
     acc_den_tab = _sum_pair(jnp.where(lb, den_tab, zero))
     # Shift counts are <= 46 per pixel: a direct i32 sum is exact.
-    axes = tuple(range(1, s1.ndim))
+    axes = tuple(range(1, s1i.ndim))
     acc_num_k = jnp.sum(jnp.where(nb, num_k, zero), axis=axes)
     acc_den_k = jnp.sum(jnp.where(lb, k_den, zero), axis=axes)
     n_log = jnp.sum(lb.astype(jnp.int32), axis=axes)
-    n_flat = jnp.int32(s1[0].size) - n_log
+    n_flat = jnp.int32(s1i[0].size) - n_log
     # Flat-branch sigma2 is a full u32: split 16/16 per pixel, pair-sum
     # each half exactly.
-    s2m = jnp.where(lb, _U32(0), s2)
     flat_hi = _sum_pair((s2m >> 16).astype(jnp.int32))
     flat_lo = _sum_pair((s2m & _MASK16).astype(jnp.int32))
 
@@ -471,6 +539,35 @@ def _log2_table_device() -> jnp.ndarray:
     return jnp.asarray(log2_table().astype(np.int32))
 
 
+def _breakpoints_device() -> jnp.ndarray:
+    """The Q11 log2 LUT in breakpoint form for _statistic/_log2_q11_bp."""
+    from pqa2_tpu.golden.log2lut import breakpoints_ext
+
+    return jnp.asarray(breakpoints_ext())
+
+
+@functools.partial(
+    jax.jit, static_argnames=("gain_limit", "bit_depth", "exact")
+)
+def _vif_features_int_impl(ref, dist, bp, gain_limit, bit_depth, exact):
+    ref, in_q = to_native_grid(ref, bit_depth)
+    dist, _ = to_native_grid(dist, bit_depth)
+    feats = []
+    for scale in range(4):
+        taps = VIF_FILTERS_Q16[scale]
+        if scale > 0:
+            ref = _decimate2(ref, taps, in_q)
+            dist = _decimate2(dist, taps, in_q)
+            in_q = 8
+        planes = _sigma_planes(ref, dist, taps, in_q)
+        if exact:
+            num, den = _statistic(*planes, gain_limit, bp)
+        else:
+            num, den = _statistic_fast(*planes, gain_limit)
+        feats.append(jnp.where(den > 0, num / den, 1.0))
+    return jnp.stack(feats, axis=-1)
+
+
 def vif_features_int_batched(
     ref: jnp.ndarray,
     dist: jnp.ndarray,
@@ -484,21 +581,13 @@ def vif_features_int_batched(
     quantisation and integer accumulators (bit-faithful to
     golden/vif_int.py); exact=False keeps the smooth-f32-log throughput
     statistic (precision="integer_fast"). >8-bit sources run natively
-    (in_q = depth-8 fixed-point codes; golden/vif_int.py docstring)."""
-    ref, in_q = to_native_grid(ref, bit_depth)
-    dist, _ = to_native_grid(dist, bit_depth)
-    table = _log2_table_device() if exact else None
-    feats = []
-    for scale in range(4):
-        taps = VIF_FILTERS_Q16[scale]
-        if scale > 0:
-            ref = _decimate2(ref, taps, in_q)
-            dist = _decimate2(dist, taps, in_q)
-            in_q = 8
-        planes = _sigma_planes(ref, dist, taps, in_q)
-        if exact:
-            num, den = _statistic(*planes, gain_limit, table)
-        else:
-            num, den = _statistic_fast(*planes, gain_limit)
-        feats.append(jnp.where(den > 0, num / den, 1.0))
-    return jnp.stack(feats, axis=-1)
+    (in_q = depth-8 fixed-point codes; golden/vif_int.py docstring).
+
+    Jitted as one program with the breakpoint table as an ARGUMENT:
+    eager per-op dispatch of the ~1k-op exact statistic costs minutes on
+    slow hosts, and a trace-constant LUT triggers XLA:CPU's pathological
+    big-constant-gather compiles."""
+    return _vif_features_int_impl(
+        ref, dist, _breakpoints_device(),
+        gain_limit=gain_limit, bit_depth=bit_depth, exact=exact,
+    )

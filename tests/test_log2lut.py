@@ -95,12 +95,62 @@ def test_device_normalization_and_gather_bit_equal(rng):
     assert np.array_equal(np.asarray(tab_d), tab_o.astype(np.int32))
 
 
+def test_breakpoints_ext_recovers_table_exhaustively():
+    """The gather-free device scheme (golden/log2lut.py:breakpoints_ext)
+    recovers t[m] EXACTLY for every mantissa and every candidate within
+    +-1 of the true index — the property the fused Pallas statistic
+    relies on (ops/pallas_vif_int.py:_fused_exact_slots)."""
+    from pqa2_tpu.golden.log2lut import breakpoints_ext
+
+    t = log2_table().astype(np.int64)
+    ext = breakpoints_ext().astype(np.int64)
+    assert ext.shape == (2050,)
+    assert ext[0] == 32768 and ext[2049] == 65536
+    # B[j] is the smallest mantissa with t[m] = 30720 + j.
+    for j in (1, 2, 1024, 2047, 2048):
+        b = int(ext[j])
+        assert t[b] == 30720 + j and t[b - 1] == 30720 + j - 1
+    # Step sizes: every (B>>8, B&255, dB) packs bf16-exact (<= 256).
+    d = np.diff(ext[1:])
+    assert d.min() >= 6 and d.max() <= 23
+
+    m_all = np.arange(32768, 65536, dtype=np.int64)
+    u_true = t[m_all] - 30720
+    for delta in (-1, 0, 1):
+        idx = np.clip(u_true + delta, 1, 2048)
+        u_rec = (
+            idx - 2
+            + (m_all >= ext[idx - 1]).astype(np.int64)
+            + (m_all >= ext[idx]).astype(np.int64)
+            + (m_all >= ext[idx + 1]).astype(np.int64)
+        )
+        assert np.array_equal(u_rec, u_true), f"delta={delta}"
+
+    # The f32 candidate the kernel computes really is within +-1 (with
+    # ~1e3x margin: f32 log2 relative error ~1e-7 -> index error ~3e-3).
+    mf = m_all.astype(np.float32)
+    cand = np.round(np.log2(mf) * np.float32(2048)).astype(np.float64)
+    cand -= 30720.0
+    assert np.abs(cand - u_true).max() <= 1
+
+
+def test_device_log2_q11_bp_exhaustive():
+    """The twin's gather-free LUT evaluation (ops/vif_int.py:_log2_q11_bp)
+    equals the full table for EVERY 16-bit mantissa on this backend."""
+    from pqa2_tpu.ops.vif_int import _breakpoints_device, _log2_q11_bp
+
+    m = jnp.asarray(np.arange(32768, 65536, dtype=np.int32))
+    got = np.asarray(_log2_q11_bp(m, _breakpoints_device()))
+    want = log2_table()[32768:65536].astype(np.int32)
+    assert np.array_equal(got, want)
+
+
 def test_statistic_twin_adversarial_planes(rng):
     """Full-statistic agreement on hand-built sigma planes covering every
     branch: flat, log+negative-covariance, identity-like, huge values,
     NEG clamp active."""
     from pqa2_tpu.golden.vif_int import _statistic as oracle_stat
-    from pqa2_tpu.ops.vif_int import _log2_table_device
+    from pqa2_tpu.ops.vif_int import _breakpoints_device
     from pqa2_tpu.ops.vif_int import _statistic as dev_stat
 
     n = 512
@@ -121,7 +171,7 @@ def test_statistic_twin_adversarial_planes(rng):
     s12 = np.clip(s12, -cap, cap)
 
     shaped = [x.reshape(1, 16, 32) for x in (s1, s2, s12)]
-    table = _log2_table_device()
+    table = _breakpoints_device()
     for gl in (float("inf"), 1.0):
         no, do = oracle_stat(*[x[0] for x in shaped], gl)
         nd, dd = dev_stat(*[jnp.asarray(x, jnp.int32) for x in shaped], gl,

@@ -17,7 +17,7 @@ from pqa2_tpu.ops.motion_int import blur_int_batched, sad_pairs_int
 from pqa2_tpu.ops.pallas_vif_int import vif_features_int_pallas
 from pqa2_tpu.ops.vif_int import vif_features_int_batched
 
-TOL = 2e-6  # f32 reassociation on the num/den sums only
+TOL = 2e-6  # f32 reassociation (fast statistic / ADM partial sums)
 
 
 def _pair(rng, n, h, w, spread=40):
@@ -30,10 +30,13 @@ def _pair(rng, n, h, w, spread=40):
 
 @pytest.mark.parametrize("shape", [(2, 64, 128), (3, 72, 96), (2, 57, 100)])
 def test_vif_matches_xla_twin(rng, shape):
+    """Default = exact fused statistic: BIT-identical to the XLA twin
+    (integer accumulators + the gather-free breakpoint LUT scheme leave
+    no reassociation freedom)."""
     r, d = _pair(rng, *shape)
     want = np.asarray(vif_features_int_batched(r, d))
     got = np.asarray(vif_features_int_pallas(r, d, interpret=True))
-    np.testing.assert_allclose(got, want, atol=TOL, rtol=0)
+    assert np.array_equal(got, want)
 
 
 def test_vif_gain_limit_neg(rng):
@@ -43,6 +46,27 @@ def test_vif_gain_limit_neg(rng):
     want = np.asarray(vif_features_int_batched(r, d, gain_limit=1.0))
     got = np.asarray(vif_features_int_pallas(r, d, gain_limit=1.0,
                                              interpret=True))
+    assert np.array_equal(got, want)
+
+
+def test_vif_exact_hybrid_matches_fused(rng):
+    """The sigma-plane hybrid (kernel emits planes, XLA runs the take-
+    based statistic) and the fully-fused breakpoint statistic are the
+    same exact computation — bit for bit."""
+    r, d = _pair(rng, 2, 64, 128)
+    fused = np.asarray(vif_features_int_pallas(r, d, interpret=True))
+    hybrid = np.asarray(
+        vif_features_int_pallas(r, d, interpret=True, exact_impl="hybrid")
+    )
+    assert np.array_equal(fused, hybrid)
+
+
+def test_vif_fast_statistic_close_to_twin(rng):
+    """integer_fast (f32-log statistic) keeps the documented tolerance."""
+    r, d = _pair(rng, 2, 64, 128)
+    want = np.asarray(vif_features_int_batched(r, d, exact=False))
+    got = np.asarray(vif_features_int_pallas(r, d, interpret=True,
+                                             exact=False))
     np.testing.assert_allclose(got, want, atol=TOL, rtol=0)
 
 
