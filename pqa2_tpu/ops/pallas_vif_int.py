@@ -57,32 +57,35 @@ _BP_PLANES = None
 
 
 def _bp_planes() -> jnp.ndarray:
-    """(64, 128) bf16 pack of the log2-LUT breakpoints for the in-kernel
+    """(32, 128) bf16 pack of the log2-LUT breakpoints for the in-kernel
     one-hot MXU fetch (golden/log2lut.py:breakpoints_ext).
 
-    For jdx = 16*h + l in [0, 2048) the four planes b hold small exact
-    integers (<= 256, bf16-exact) at [16*b + l, h]:
+    The kernel uses the ONE-FETCH floor form: the unrounded f32 candidate
+    c = log2(m)*2048 - 30720 lies within +-0.52 of the table's rounding
+    target, so f = clip(floor(c), 0, 2047) is u-1 or u exactly, and
 
-      b=0: B[jdx+1] >> 8     b=2: B[jdx+1] - B[jdx]   (d_prev)
-      b=1: B[jdx+1] & 255    b=3: B[jdx+2] - B[jdx+1] (d_next)
+        u = f + [m >= B(f + 1)]
 
-    so A = planes @ onehot(h) followed by a 16-row select on l yields the
-    breakpoint triple around any candidate index, and the statistic's
-    quantised log2 is recovered exactly from three integer comparisons.
+    needs a single breakpoint.  For f = 16*h + l the two planes b hold
+    bf16-exact integers (<= 255) at [16*b + l, h]:
+
+      b=0: B[f+1] >> 8      b=1: B[f+1] & 255
+
+    so A = planes @ onehot(h) followed by a 16-row select on l yields
+    B(f+1), and the statistic's quantised log2 is recovered exactly from
+    one integer comparison (pinned exhaustively in tests/test_log2lut.py
+    and on-silicon by bench parity).
     """
     global _BP_PLANES
     if _BP_PLANES is None:
         from pqa2_tpu.golden.log2lut import breakpoints_ext
 
         ext = breakpoints_ext().astype(np.int64)
-        jdx = np.arange(2048)
-        cur = ext[jdx + 1]
-        planes = np.stack(
-            [cur >> 8, cur & 255, cur - ext[jdx], ext[jdx + 2] - cur], 0
-        )
-        # (4, 2048) -> [16*b + l, h]
-        pack = np.zeros((64, 128), dtype=np.float32)
-        for b in range(4):
+        cur = ext[np.arange(2048) + 1]
+        planes = np.stack([cur >> 8, cur & 255], 0)
+        # (2, 2048) -> [16*b + l, h]
+        pack = np.zeros((32, 128), dtype=np.float32)
+        for b in range(2):
             pack[16 * b:16 * (b + 1), :] = (
                 planes[b].reshape(128, 16).T
             )
@@ -118,59 +121,72 @@ def _fused_exact_slots(s1, s2, s12, gain_limit, valid, tile_w, planes):
     nbv = nb & valid
     zero = i32(0)
 
-    num_tab_s = zero
-    den_tab_s = zero
-    # C rows per one-hot matmul (lane-axis concat keeps Mosaic happy —
-    # no cross-sublane reshape): 4x fewer, 4x larger MXU ops than the
-    # row-at-a-time form, and a 4x smaller unrolled trace.
+    # Real Mosaic cannot lane-concat row slices taken at different
+    # sublane offsets ("result/input offset mismatch on non-concat
+    # dimension"), so rows are brought to sublane 0 by a one-hot ROW
+    # matmul over one full-height lane-concat (every concat input below
+    # is offset-{0,0}).  All packed values are <= 256, hence exact in
+    # bf16 — one DEFAULT-precision MXU pass per row extracts the split
+    # mantissas AND the signed branch mask (+1 den/log, +1 num m1,
+    # -1 num m2) together; the mask multiplies the fetched t values so
+    # masked lanes contribute exactly 0.
+    def hi8(x):  # u32 mantissa high byte (m < 2^16): <= 255
+        return (x >> 8).astype(i32).astype(f32)
+
+    def lo8(x):
+        return (x & jnp.uint32(255)).astype(i32).astype(f32)
+
+    big = jnp.concatenate(
+        [hi8(m_den[:, :tw]), hi8(m1[:, :tw]), hi8(m2[:, :tw]),
+         lo8(m_den[:, :tw]), lo8(m1[:, :tw]), lo8(m2[:, :tw]),
+         lbv[:, :tw].astype(f32), nbv[:, :tw].astype(f32),
+         -nbv[:, :tw].astype(f32)], axis=1
+    )  # (rows, 9*tw), all entries in [-1, 255]
+    rows_iota = jax.lax.broadcasted_iota(i32, (1, rows), 1)
+
+    def extract(r_i):  # row r_i -> (1, 9*tw) at sublane 0, exact
+        onehot = (rows_iota == r_i).astype(f32)
+        return jax.lax.dot_general(
+            onehot, big, (((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )
+
+    # C rows per one-hot LUT matmul: C-fold fewer, larger MXU ops and a
+    # C-fold smaller unrolled trace than row-at-a-time.
     chunk = 4 if rows % 4 == 0 else 1
     wc = chunk * w3
+    den_sel = (jax.lax.broadcasted_iota(i32, (1, wc), 1) % w3) < tw
+    num_tab_s = zero
+    den_tab_s = zero
     for c0 in range(0, rows, chunk):
-        parts = []
-        for r_i in range(c0, c0 + chunk):
-            sl = slice(r_i, r_i + 1)
-            parts += [m_den[sl, :tw], m1[sl, :tw], m2[sl, :tw]]
-        mcat = jnp.concatenate(parts, axis=1).astype(i32)  # < 2^16: exact
-        mf = mcat.astype(f32)
+        exs = [extract(c0 + k_i) for k_i in range(chunk)]
+        mf = jnp.concatenate(
+            [e[:, :w3] * 256.0 + e[:, w3:2 * w3] for e in exs], axis=1
+        )  # (1, wc)
+        sg = jnp.concatenate([e[:, 2 * w3:] for e in exs], axis=1)
+        # One-fetch floor form (see _bp_planes): f in {u-1, u} exactly.
         idxf = jnp.clip(
-            jnp.round(jnp.log2(mf) * 2048.0) - 30720.0, 1.0, 2048.0
+            jnp.floor(jnp.log2(mf) * 2048.0 - 30720.0), 0.0, 2047.0
         )
-        jdx = idxf.astype(i32) - 1
+        jdx = idxf.astype(i32)
         ht = (
             jax.lax.broadcasted_iota(i32, (128, wc), 0) == (jdx >> 4)
         ).astype(jnp.bfloat16)
         at = jax.lax.dot_general(
             planes, ht, (((1,), (0,)), ((), ())),
             preferred_element_type=f32,
-        )  # (64, wc): rows 16b+l hold plane_b at l = jdx & 15
+        )  # (32, wc): rows 16b+l hold plane_b at l = jdx & 15
         lt = (
             jax.lax.broadcasted_iota(i32, (16, wc), 0) == (jdx & 15)
         ).astype(f32)
         v0 = jnp.sum(at[0:16] * lt, axis=0, keepdims=True)
         v1 = jnp.sum(at[16:32] * lt, axis=0, keepdims=True)
-        v2 = jnp.sum(at[32:48] * lt, axis=0, keepdims=True)
-        v3 = jnp.sum(at[48:64] * lt, axis=0, keepdims=True)
-        cur = v0 * 256.0 + v1
-        u = (
-            idxf
-            - 2.0
-            + (mf >= cur - v2).astype(f32)
-            + (mf >= cur).astype(f32)
-            + (mf >= cur + v3).astype(f32)
-        )
+        bcur = v0 * 256.0 + v1  # B(f + 1), exact
+        u = idxf + (mf >= bcur).astype(f32)
         tv = (u + 30720.0).astype(i32)  # t[m], exact
-        for k_i in range(chunk):
-            base = 3 * k_i * tw
-            sl = slice(c0 + k_i, c0 + k_i + 1)
-            t_den = tv[:, base:base + tw]
-            t_num = (tv[:, base + tw:base + 2 * tw]
-                     - tv[:, base + 2 * tw:base + 3 * tw])
-            den_tab_s = den_tab_s + jnp.sum(
-                jnp.where(lbv[sl, :tw], t_den, zero)
-            )
-            num_tab_s = num_tab_s + jnp.sum(
-                jnp.where(nbv[sl, :tw], t_num, zero)
-            )
+        prod = tv * sg.astype(i32)  # signed, masked contributions
+        den_tab_s = den_tab_s + jnp.sum(jnp.where(den_sel, prod, zero))
+        num_tab_s = num_tab_s + jnp.sum(jnp.where(den_sel, zero, prod))
 
     num_k_s = jnp.sum(jnp.where(nbv, num_k, zero))
     den_k_s = jnp.sum(jnp.where(lbv, k_den, zero))
@@ -597,7 +613,7 @@ def vif_int_scale_pallas(
     inputs = [ref_p, dist_p]
     if exact_fused:
         in_specs.append(
-            pl.BlockSpec((64, 128), lambda i, j, k2: (0, 0),
+            pl.BlockSpec((32, 128), lambda i, j, k2: (0, 0),
                          memory_space=pltpu.VMEM)
         )
         inputs.append(_bp_planes())

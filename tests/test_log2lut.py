@@ -133,6 +133,19 @@ def test_breakpoints_ext_recovers_table_exhaustively():
     cand -= 30720.0
     assert np.abs(cand - u_true).max() <= 1
 
+    # ONE-FETCH floor form (the production kernel,
+    # ops/pallas_vif_int.py:_bp_planes): for BOTH floors the +-0.52
+    # window allows, u = f + [m >= B(f+1)] recovers u exactly.
+    for f_try in (u_true - 1, u_true):
+        f = np.clip(f_try, 0, 2047)
+        u_rec = f + (m_all >= ext[f + 1]).astype(np.int64)
+        assert np.array_equal(u_rec, u_true)
+    # And the kernel's actual f32 floor candidate lands in that window.
+    cand_f = np.floor(
+        np.log2(mf) * np.float32(2048) - np.float32(30720)
+    ).astype(np.int64)
+    assert np.all((cand_f >= u_true - 1) & (cand_f <= u_true))
+
 
 def test_device_log2_q11_bp_exhaustive():
     """The twin's gather-free LUT evaluation (ops/vif_int.py:_log2_q11_bp)
