@@ -47,13 +47,15 @@ def resolve_precision(model, setting: Optional[str] = None) -> str:
     smooths the statistic's LUT logs to f32 (~1e-4 pooled feature /
     <=1e-3 score delta from the exact path, pinned in tests).
 
-    "auto" maps integer models to "integer_fast": the per-pixel table
-    lookups of the exact statistic have no fast lowering on TPU (measured
-    ~7 ns/gather — ~4 fps at 4K vs >100 fps fast), so the shipping
-    default is the fast statistic and the exact mode is the verification
-    path (bench.py parity_check and the bit-equality tests run it on
-    every backend). The choice is uniform across backends so results are
-    reproducible between CPU and TPU."""
+    "auto" maps integer models to "integer_fast". The exact statistic's
+    gather-free breakpoint kernels run 64 fps at 4K on one chip (above
+    the 60 fps target; originally 4 fps when the table lookups were
+    gathers), but fast still measures ~1.8x quicker (115 fps) for a
+    score delta bounded at 1e-3 — so fast ships as the default and
+    "integer" (exact) is the verification-grade mode (bench.py
+    parity_check and the bit-equality tests run it on every backend).
+    The choice is uniform across backends so results are reproducible
+    between CPU and TPU."""
     p = setting or FEATURE_PRECISION
     if p == "auto":
         if hasattr(model, "models"):  # bootstrap stack
