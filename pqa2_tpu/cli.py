@@ -198,6 +198,15 @@ def cmd_models(args) -> int:
 
 
 def main(argv: Optional[List[str]] = None) -> int:
+    if os.environ.get("JAX_PLATFORMS"):
+        # Honor the env var at config level: interpreter startup hooks on
+        # some hosts register a hardware plugin and pin the platform
+        # programmatically, which silently overrides the env var (same
+        # workaround as tests/conftest.py). Must run before any backend
+        # query; `dryrun` additionally exposes --platform.
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     from pqa2_tpu.utils.compile_cache import enable_compilation_cache
 
     enable_compilation_cache()

@@ -19,5 +19,6 @@ from pqa2_tpu.parallel.mesh import (
 from pqa2_tpu.parallel.scoring import (
     make_sharded_scorer,
     make_shardmap_scorer,
+    score_clip_sharded,
     sharded_extract,
 )
