@@ -280,11 +280,19 @@ def test_capture_preview_frames():
     frames = []
     cm.frame_available.connect(frames.append)
     cm.start_preview(fps=30.0)
-    _time.sleep(0.3)
+    # Deadline-based, not fixed-sleep: on a loaded single-CPU host the
+    # preview thread may be starved well past the nominal frame period.
+    deadline = _time.monotonic() + 10.0
+    while len(frames) < 2 and _time.monotonic() < deadline:
+        _time.sleep(0.05)
     cm.stop_preview()
     assert len(frames) >= 2
     assert frames[0].shape == (180, 320)
     # preview restartable
+    frames.clear()
     cm.start_preview(fps=30.0)
-    _time.sleep(0.1)
+    deadline = _time.monotonic() + 10.0
+    while not frames and _time.monotonic() < deadline:
+        _time.sleep(0.05)
     cm.stop_preview()
+    assert frames
