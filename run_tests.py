@@ -58,6 +58,13 @@ def run_tests(extra_args=None) -> int:
         extra_args = [a for a in extra_args if a != "--quick"]
         extra_args += ["-m", "smoke"]
 
+    # The child also raises this via conftest, but raising here first means
+    # the child starts with the raised soft limit (main-thread stack growth
+    # cap is what the XLA:CPU compiler overflows on the exact-int programs).
+    from pqa2_tpu.utils.stacklimit import raise_stack_limit
+
+    raise_stack_limit()
+
     t0 = time.time()
     cmd = [sys.executable, "-m", "pytest", "tests/", "-q",
            f"--junitxml={json_tmp}.xml"]

@@ -17,6 +17,13 @@ if "xla_force_host_platform_device_count" not in _flags:
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# Deep exact-statistic programs overflow the default 8 MB stack inside the
+# XLA:CPU compiler (observed SIGSEGV in backend_compile_and_load); raise the
+# limit before any compile can run.
+from pqa2_tpu.utils.stacklimit import raise_stack_limit
+
+raise_stack_limit()
+
 import jax
 
 # The environment's sitecustomize can programmatically pin jax_platforms to a
