@@ -445,7 +445,9 @@ def bench_full(log):
 
 def main():
     from pqa2_tpu.utils.compile_cache import enable_compilation_cache
+    from pqa2_tpu.utils.stacklimit import raise_stack_limit
 
+    raise_stack_limit()  # XLA:CPU overflows 8 MB on the exact-int programs
     enable_compilation_cache()
     import jax
 

@@ -208,7 +208,9 @@ def main(argv: Optional[List[str]] = None) -> int:
 
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     from pqa2_tpu.utils.compile_cache import enable_compilation_cache
+    from pqa2_tpu.utils.stacklimit import raise_stack_limit
 
+    raise_stack_limit()  # deep XLA:CPU compiles overflow the 8 MB default
     enable_compilation_cache()
     parser = argparse.ArgumentParser(prog="pqa2_tpu", description=__doc__)
     parser.add_argument("-v", "--verbose", action="store_true")

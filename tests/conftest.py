@@ -35,6 +35,26 @@ import numpy as np
 import pytest
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _drop_compiled_programs_per_module():
+    """Free compiled XLA executables at every test-module boundary.
+
+    The full suite compiles hundreds of XLA:CPU programs in one process
+    (including the very large interpret-mode exact-statistic cascades); with
+    all of them held live by jax's jit caches, the compile of the largest
+    program late in the suite dies with a deterministic SIGSEGV inside
+    backend_compile_and_load — while the same test passes in a fresh
+    process, whatever the stack rlimit (round-3 finding; see
+    ROUND3_NOTES.md). Dropping the caches between modules bounds the live
+    compiled-code footprint; modules recompile what they share (small —
+    programs are mostly module-specific)."""
+    yield
+    import gc
+
+    jax.clear_caches()
+    gc.collect()
+
+
 @pytest.fixture()
 def rng(request):
     # Function-scoped and seeded per test name (stable hash): deterministic
