@@ -11,6 +11,20 @@ import sys
 
 
 def main() -> int:
+    import os
+
+    if os.environ.get("JAX_PLATFORMS"):
+        # Honor the env var at config level (same workaround as cli.py and
+        # tests/conftest.py): interpreter startup hooks on some hosts
+        # register a hardware plugin and pin the platform programmatically,
+        # silently overriding the env var — the state validation below
+        # queries jax.devices(), which would then initialise the pinned
+        # hardware backend (and can block on an unreachable remote runtime)
+        # instead of the platform the user asked for.
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
     from pqa2_tpu.utils.logs import setup_logging
 
     logger = setup_logging()
