@@ -207,11 +207,9 @@ def main(argv: Optional[List[str]] = None) -> int:
         import jax
 
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
-    from pqa2_tpu.utils.compile_cache import enable_compilation_cache
     from pqa2_tpu.utils.stacklimit import raise_stack_limit
 
     raise_stack_limit()  # deep XLA:CPU compiles overflow the 8 MB default
-    enable_compilation_cache()
     parser = argparse.ArgumentParser(prog="pqa2_tpu", description=__doc__)
     parser.add_argument("-v", "--verbose", action="store_true")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -230,7 +228,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     p = sub.add_parser("capture", help="simulated capture (file playback)")
     p.add_argument("reference")
     p.add_argument("--device", default="FilePlayback")
-    p.add_argument("--out", default=None)
+    p.add_argument("--out", default=None,
+                   help="output DIRECTORY (the capture file is named "
+                        "inside it, CaptureManager path policy)")
     p.add_argument("--test-name", default=None)
     p.add_argument("--noise", type=float, default=2.0)
     p.set_defaults(fn=cmd_capture)
@@ -266,6 +266,14 @@ def main(argv: Optional[List[str]] = None) -> int:
         level=logging.DEBUG if args.verbose else logging.WARNING,
         format="%(asctime)s %(name)s %(levelname)s %(message)s",
     )
+    if args.cmd in ("score", "align", "capture", "full", "batch", "dryrun"):
+        # Compute subcommands only: deciding whether the cache applies may
+        # initialize the JAX backend, which can block on an unreachable
+        # remote TPU runtime — `pqa2 --help` / `models` / `probe` must
+        # never pay (or hang on) that.
+        from pqa2_tpu.utils.compile_cache import enable_compilation_cache
+
+        enable_compilation_cache()
     return args.fn(args)
 
 

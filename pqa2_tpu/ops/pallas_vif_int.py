@@ -49,6 +49,26 @@ TILE_W = 512
 _MASK16 = np.uint32(0xFFFF)
 
 
+# Per-frame tile-count bound for the fused exact statistic: beyond it the
+# flat accumulator's reassembled hi word can pass 2^24 and the final f32
+# cast in _recombine_exact would round (see its docstring).  512 tiles
+# covers DCI 4K (4096x2160 = 272 tiles at 64x512) with ~2x margin.
+_EXACT_FUSED_MAX_TILES = 512
+
+
+def _exact_fused_in_bounds(h: int, w: int, tile_h: int,
+                           emit_next: bool) -> bool:
+    """True when the fused exact statistic's f32 piece recombination is
+    proven exact for this frame geometry (mirror of
+    vif_int_scale_pallas's tile computation; see _recombine_exact)."""
+    min_th = 16 if emit_next else 8
+    th = max(min(tile_h, _round_up(h, min_th)) // min_th * min_th, min_th)
+    wmult = 256 if emit_next else 128
+    tw = min(TILE_W, _round_up(w, wmult))
+    tiles = (-(-h // th)) * (-(-w // tw))
+    return tiles <= _EXACT_FUSED_MAX_TILES and h * w < (1 << 24)
+
+
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
@@ -484,9 +504,17 @@ def _make_int_kernel(taps: np.ndarray, tile_h: int, tile_w: int,
 def _recombine_exact(a: jnp.ndarray, h: int, w: int):
     """Accumulator row (n, 128) of 12-bit piece sums -> per-frame exact
     (num, den), reproducing ops/vif_int.py:_statistic's final reduction
-    BIT-FOR-BIT: each integer total is reassembled as the same normalised
-    (hi, lo) base-2^16 pair _sum_pair produces (the pair of an integer is
-    unique), then pushed through the identical f32 expression."""
+    BIT-FOR-BIT.
+
+    The reassembled (hi, lo) pair need not be _sum_pair's normalised pair
+    (piece sums carry unpropagated carries), but both decompose the same
+    exact integer into two f32-exact addends, so the single f32 rounding
+    of ``hi*65536 + lo`` matches the twin — PROVIDED every cast stays
+    exact.  That holds when |hi| < 2^24, i.e. per-frame tile count
+    <= _EXACT_FUSED_MAX_TILES and frame pixels < 2^24 (the flat
+    accumulator's hi word grows ~2^15 per 64x512 flat tile).  The caller
+    (vif_features_int_pallas) enforces the bound by falling back to the
+    emit_sigma hybrid — equally exact — for larger geometries."""
     i32 = jnp.int32
     f32 = jnp.float32
 
@@ -689,17 +717,24 @@ def vif_features_int_pallas(
         to_native_grid,
     )
 
-    hybrid = exact and exact_impl == "hybrid"
     ref, in_q = to_native_grid(ref, bit_depth)
     dist, _ = to_native_grid(dist, bit_depth)
-    table = _breakpoints_device() if hybrid else None
+    table = None
     feats = []
     sad = None
     # Interpret mode (CPU tests): small tiles — the kernel's unrolled
     # row loop makes trace/compile time scale with tile_h, and there is
     # no VMEM-efficiency reason to use big tiles off-chip.
     tile_h = 16 if interpret else DEFAULT_TILE_H
+
     for scale in range(4):
+        hybrid = exact and (
+            exact_impl == "hybrid"
+            or not _exact_fused_in_bounds(ref.shape[1], ref.shape[2],
+                                          tile_h, emit_next=scale < 3)
+        )
+        if hybrid and table is None:
+            table = _breakpoints_device()
         out = vif_int_scale_pallas(
             ref, dist, scale, gain_limit=gain_limit, in_q=in_q,
             tile_h=tile_h,

@@ -140,7 +140,13 @@ def _run_batch_suite_sharded(
     luma_cache: Dict[str, np.ndarray] = {}  # ladders reuse one reference
 
     def luma_of(path: str) -> np.ndarray:
-        if path not in luma_cache:
+        if path in luma_cache:
+            # LRU touch: a ladder's shared reference is hit on every rung;
+            # plain FIFO would evict it first (it is the oldest insertion)
+            # and re-decode it per rung — the exact cost this cache exists
+            # to avoid.
+            luma_cache[path] = luma_cache.pop(path)
+        else:
             if len(luma_cache) > 4:  # bound host memory on big sweeps
                 luma_cache.pop(next(iter(luma_cache)))
             with VideoReader(path) as r:

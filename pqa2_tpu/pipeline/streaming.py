@@ -208,6 +208,8 @@ def stream_score(
             dist_div = float(1 << (meta.get("dist_depth", 8) - 8))
             ref_np = np.stack(ref_y)
             dist_np = np.stack(dist_y)
+            depth = max(meta.get("ref_depth", 8),
+                        meta.get("dist_depth", 8))
 
             def run_chunk():
                 # Transfer the SOURCE dtype (uint8/uint16) and convert on
@@ -216,15 +218,18 @@ def stream_score(
                 # with modest device links.
                 rb = jnp.asarray(ref_np)
                 db = jnp.asarray(dist_np)
-                if ref_div != 1.0:
-                    rb = rb.astype(jnp.float32) / ref_div
-                if dist_div != 1.0:
-                    db = db.astype(jnp.float32) / dist_div
                 # The integer path recovers native codes from the 8-bit
-                # scale; mixed-depth pairs score on the deeper grid (the
-                # shallower clip promotes exactly, << diff).
-                depth = max(meta.get("ref_depth", 8),
-                            meta.get("dist_depth", 8))
+                # scale; mixed-depth pairs score on the deeper grid.  When
+                # the pair depth exceeds 8, BOTH streams must be float on
+                # the 8-bit scale: to_native_grid reads an integer dtype as
+                # codes already on the pair grid, so a shallower stream left
+                # in uint8 would land 2^(depth diff) dark.  The float branch
+                # promotes exactly (floor(x * 2^(depth-8) + 0.5) == code <<
+                # diff for integer-valued x).
+                if depth > 8 or ref_div != 1.0:
+                    rb = rb.astype(jnp.float32) / ref_div
+                if depth > 8 or dist_div != 1.0:
+                    db = db.astype(jnp.float32) / dist_div
                 out = extract_features_batched(
                     rb, db, has_prev=has_prev, has_next=has_next,
                     bit_depth=depth, **params,

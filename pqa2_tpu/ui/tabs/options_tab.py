@@ -157,8 +157,18 @@ class OptionsTab(QWidget):
                 return str(fmt.get("id", ""))
             return combo.currentText().split(" — ")[0].strip()
 
-        return (combo, getter,
-                lambda v: self._set_format_value(combo, str(v or "")), row)
+        def setter(v):
+            # Programmatic selection (load_settings / reset_defaults) must
+            # not fire on_pick's apply_format — that would write capture
+            # settings back as a side effect of loading them, partially
+            # undoing a reset. Only a user pick applies.
+            self._format_populating = True
+            try:
+                self._set_format_value(combo, str(v or ""))
+            finally:
+                self._format_populating = False
+
+        return (combo, getter, setter, row)
 
     @staticmethod
     def _set_format_value(combo, code: str):

@@ -21,27 +21,18 @@ import logging
 
 logger = logging.getLogger(__name__)
 
-# 512 MB is orders of magnitude past the observed need while staying far
-# below this box's RAM; used when the hard limit forbids RLIM_INFINITY.
-_FALLBACK_BYTES = 512 * 1024 * 1024
-
 
 def raise_stack_limit() -> bool:
-    """Best-effort raise of RLIMIT_STACK to the hard limit (or 512 MB).
+    """Best-effort raise of the RLIMIT_STACK soft limit to the hard limit.
 
     Returns True if the soft limit is now above the 8 MB default."""
     try:
         import resource
 
         soft, hard = resource.getrlimit(resource.RLIMIT_STACK)
-        want = hard if hard != resource.RLIM_INFINITY else resource.RLIM_INFINITY
-        if want != resource.RLIM_INFINITY:
-            want = max(want, min(hard, _FALLBACK_BYTES))
-        if soft != resource.RLIM_INFINITY and (
-            want == resource.RLIM_INFINITY or want > soft
-        ):
-            resource.setrlimit(resource.RLIMIT_STACK, (want, hard))
-            logger.debug("stack rlimit raised: %s -> %s", soft, want)
+        if soft != hard:
+            resource.setrlimit(resource.RLIMIT_STACK, (hard, hard))
+            logger.debug("stack rlimit raised: %s -> %s", soft, hard)
         soft, _ = resource.getrlimit(resource.RLIMIT_STACK)
         return soft == resource.RLIM_INFINITY or soft > 8 * 1024 * 1024
     except Exception as e:  # pragma: no cover - platform-defensive

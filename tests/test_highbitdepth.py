@@ -66,6 +66,42 @@ def test_mixed_depth_psnr_native(tmp_path, rng):
     assert np.all(np.asarray(s.ssim["ssim_y"]) <= 1.0)
 
 
+def test_mixed_depth_vmaf_promotes_shallow_stream(tmp_path, rng):
+    """8-bit reference vs 10-bit capture must score identically to the same
+    pair with the reference promoted to the 10-bit grid on the host.
+
+    Regression: the shallower stream used to stay in uint8 through the
+    feature pass, and to_native_grid read those raw 0..255 codes as codes
+    already on the 10-bit pair grid — the reference landed 4x dark and the
+    integer-path (default) scores were garbage."""
+    n, h, w = 3, 48, 64
+    base = rng.uniform(16, 235, size=(n, h, w))
+    for _ in range(2):
+        base = (base + np.roll(base, 1, -1) + np.roll(base, -1, -1)
+                + np.roll(base, 1, -2) + np.roll(base, -1, -2)) / 5.0
+    ref8 = np.round(base).astype(np.uint8)
+    dist10 = np.clip((ref8.astype(np.int32) << 2)
+                     + rng.integers(-20, 21, ref8.shape), 0, 1023
+                     ).astype(np.uint16)
+    ref10 = (ref8.astype(np.uint16) << 2)
+
+    p8r = str(tmp_path / "r8.y4m")
+    p10r, p10d = str(tmp_path / "r10.y4m"), str(tmp_path / "d10.y4m")
+    write_y4m(p8r, [_planes(f) for f in ref8])
+    write_y4m(p10r, [_planes(f, 10) for f in ref10], colorspace="C420p10")
+    write_y4m(p10d, [_planes(f, 10) for f in dist10], colorspace="C420p10")
+
+    mixed = stream_score(p8r, p10d, with_psnr=False, with_ssim=False)
+    both10 = stream_score(p10r, p10d, with_psnr=False, with_ssim=False)
+    # The promoted codes are identical (x<<2), so the two runs execute the
+    # same integer pipeline on the same grid: features must agree exactly
+    # up to float evaluation order.
+    for k in mixed.feature_names:
+        np.testing.assert_allclose(mixed.features[k], both10.features[k],
+                                   atol=1e-6)
+    np.testing.assert_allclose(mixed.vmaf, both10.vmaf, atol=1e-4)
+
+
 def test_10bit_psnr_log_summary_uses_native_peak(tmp_path, rng):
     """The trailing 'PSNR average' summary line must pool with the native
     peak (1023 for 10-bit), consistent with the per-frame lines."""

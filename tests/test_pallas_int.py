@@ -132,3 +132,19 @@ def test_extract_features_integer_pallas_backend(rng):
             np.asarray(pal[k]), np.asarray(xla[k]), atol=5e-6, rtol=1e-6,
             err_msg=k,
         )
+
+
+def test_exact_fused_bound_geometry():
+    """The fused exact statistic only runs inside its proven-exact
+    envelope (<= _EXACT_FUSED_MAX_TILES tiles/frame, < 2^24 px); larger
+    frames fall back to the equally-exact emit_sigma hybrid."""
+    from pqa2_tpu.ops.pallas_vif_int import (
+        DEFAULT_TILE_H,
+        _exact_fused_in_bounds,
+    )
+
+    for h, w in ((1080, 1920), (2160, 3840), (2160, 4096)):
+        assert _exact_fused_in_bounds(h, w, DEFAULT_TILE_H, True)
+        assert _exact_fused_in_bounds(h, w, DEFAULT_TILE_H, False)
+    # 4096x4096: 512 tiles AND 2^24 pixels — crosses the envelope.
+    assert not _exact_fused_in_bounds(4096, 4096, DEFAULT_TILE_H, True)
