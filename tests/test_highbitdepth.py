@@ -66,6 +66,39 @@ def test_mixed_depth_psnr_native(tmp_path, rng):
     assert np.all(np.asarray(s.ssim["ssim_y"]) <= 1.0)
 
 
+def test_12bit_matches_8bit_scores(tmp_path, rng):
+    """12-bit (x<<4) sources run the native fixed-point grid end-to-end
+    (in_q=4 widened shifts) and must reproduce the 8-bit scores exactly
+    up to the f32 scale normalisation."""
+    n, h, w = 3, 48, 64
+    base = rng.uniform(16, 235, size=(n, h, w))
+    for _ in range(2):
+        base = (base + np.roll(base, 1, -1) + np.roll(base, -1, -1)
+                + np.roll(base, 1, -2) + np.roll(base, -1, -2)) / 5.0
+    ref8 = np.round(base).astype(np.uint8)
+    dist8 = np.clip(ref8.astype(np.int16) + rng.integers(-5, 6, ref8.shape),
+                    0, 255).astype(np.uint8)
+    ref12 = (ref8.astype(np.uint16) << 4)
+    dist12 = (dist8.astype(np.uint16) << 4)
+
+    p8r, p8d = str(tmp_path / "r8.y4m"), str(tmp_path / "d8.y4m")
+    p12r, p12d = str(tmp_path / "r12.y4m"), str(tmp_path / "d12.y4m")
+    write_y4m(p8r, [_planes(f) for f in ref8])
+    write_y4m(p8d, [_planes(f) for f in dist8])
+    write_y4m(p12r, [_planes(f, 12) for f in ref12], colorspace="C420p12")
+    write_y4m(p12d, [_planes(f, 12) for f in dist12], colorspace="C420p12")
+
+    s8 = stream_score(p8r, p8d, with_ssim=True)
+    s12 = stream_score(p12r, p12d, with_ssim=True)
+    np.testing.assert_allclose(s12.vmaf, s8.vmaf, atol=1e-3)
+    np.testing.assert_allclose(s12.ssim["ssim_y"], s8.ssim["ssim_y"],
+                               atol=1e-5)
+    # Same relative error at 16x amplitude and 16x peak -> same dB.
+    np.testing.assert_allclose(s12.psnr["psnr_y"], s8.psnr["psnr_y"],
+                               atol=0.05)
+    assert s12.peak == 4095.0
+
+
 def test_mixed_depth_vmaf_promotes_shallow_stream(tmp_path, rng):
     """8-bit reference vs 10-bit capture must score identically to the same
     pair with the reference promoted to the 10-bit grid on the host.
