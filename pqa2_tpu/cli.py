@@ -7,6 +7,7 @@ The reference is GUI-only; this CLI exposes the same engine layer headlessly:
   python -m pqa2_tpu.cli capture REF [--duration S]     (file-playback backend)
   python -m pqa2_tpu.cli full REF CAPTURE               (align + score + report)
   python -m pqa2_tpu.cli batch LADDER.json              (multi-clip suite)
+  python -m pqa2_tpu.cli serve [--port P] [--warmup]    (persistent HTTP service)
   python -m pqa2_tpu.cli probe VIDEO
   python -m pqa2_tpu.cli models
 """
@@ -174,6 +175,17 @@ def cmd_dryrun(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    """Persistent scoring service (app/service.py): one worker thread owns
+    the device, jobs arrive over HTTP, compiled programs amortize across
+    requests."""
+    from pqa2_tpu.app.service import serve_forever
+
+    serve_forever(host=args.host, port=args.port, out_dir=args.out,
+                  warmup=args.warmup)
+    return 0
+
+
 def cmd_probe(args) -> int:
     from pqa2_tpu.io.video import probe_video
 
@@ -248,6 +260,15 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--out", default=None)
     p.set_defaults(fn=cmd_batch)
 
+    p = sub.add_parser("serve", help="persistent scoring service (HTTP)")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8990)
+    p.add_argument("--out", default=None, help="artifact directory")
+    p.add_argument("--warmup", action="store_true",
+                   help="compile-warm the scorer with a tiny synthetic job "
+                        "before listening")
+    p.set_defaults(fn=cmd_serve)
+
     p = sub.add_parser("probe", help="video metadata")
     p.add_argument("video")
     p.set_defaults(fn=cmd_probe)
@@ -266,7 +287,8 @@ def main(argv: Optional[List[str]] = None) -> int:
         level=logging.DEBUG if args.verbose else logging.WARNING,
         format="%(asctime)s %(name)s %(levelname)s %(message)s",
     )
-    if args.cmd in ("score", "align", "capture", "full", "batch", "dryrun"):
+    if args.cmd in ("score", "align", "capture", "full", "batch", "dryrun",
+                    "serve"):
         # Compute subcommands only: deciding whether the cache applies may
         # initialize the JAX backend, which can block on an unreachable
         # remote TPU runtime — `pqa2 --help` / `models` / `probe` must

@@ -37,6 +37,24 @@ class Signal:
             elif slot in self._slots:
                 self._slots.remove(slot)
 
+    def connected(self, slot: Callable):
+        """Context manager: connect for the duration of a block.
+
+        Engine objects outlive individual operations (e.g. one VMAFAnalyzer
+        serving many jobs); scoped connections keep per-operation listeners
+        from accumulating across runs."""
+        import contextlib
+
+        @contextlib.contextmanager
+        def _scope():
+            self.connect(slot)
+            try:
+                yield self
+            finally:
+                self.disconnect(slot)
+
+        return _scope()
+
     def emit(self, *args) -> None:
         with self._lock:
             slots = list(self._slots)

@@ -1,0 +1,199 @@
+"""Scoring service (app/service.py): job queue, worker, HTTP surface.
+
+Beyond-reference serving mode: one worker thread owns the device, jobs
+arrive over HTTP, artifacts land in the standard results layout.
+"""
+
+import http.client
+import json
+import os
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from pqa2_tpu.app.service import ScoringService
+from pqa2_tpu.io.y4m import write_y4m
+from pqa2_tpu.utils.signals import Signal
+
+
+def _mk_pair(tmp_path, rng, n=4, h=48, w=64):
+    ys = rng.integers(16, 220, (n, h, w)).astype(np.uint8)
+    dist = np.clip(
+        ys.astype(np.int16) + rng.integers(-5, 6, ys.shape), 0, 255
+    ).astype(np.uint8)
+
+    def frames(arr):
+        return [
+            {"y": y,
+             "u": np.full((h // 2, w // 2), 128, np.uint8),
+             "v": np.full((h // 2, w // 2), 128, np.uint8)}
+            for y in arr
+        ]
+
+    rp, dp = str(tmp_path / "ref.y4m"), str(tmp_path / "dist.y4m")
+    write_y4m(rp, frames(ys))
+    write_y4m(dp, frames(dist))
+    return rp, dp
+
+
+def _wait(job, timeout=120.0):
+    t0 = time.time()
+    while job.status in ("queued", "running"):
+        if time.time() - t0 > timeout:
+            raise TimeoutError(f"job stuck in {job.status}")
+        time.sleep(0.05)
+    return job
+
+
+@pytest.fixture
+def service(tmp_path):
+    svc = ScoringService(out_dir=str(tmp_path / "results"))
+    yield svc
+    svc.stop()
+
+
+def test_submit_and_score(service, tmp_path, rng):
+    rp, dp = _mk_pair(tmp_path, rng)
+    service.start()
+    job = service.submit({"reference": rp, "distorted": dp,
+                          "precision": "float"})
+    _wait(job)
+    assert job.status == "done", job.error
+    res = job.result
+    assert 0.0 <= res["vmaf_score"] <= 100.0
+    assert res["frame_count"] == 4
+    assert os.path.exists(res["json_path"])
+    # pooled_metrics carries the libvmaf log schema keys
+    assert res["pooled_metrics"]["vmaf"]["mean"] == pytest.approx(
+        res["vmaf_score"], abs=1e-4)
+    # the response is JSON-serializable end to end
+    json.dumps(job.to_dict())
+    assert service.stats()["jobs_done"] == 1
+
+
+def test_program_reuse_across_jobs(service, tmp_path, rng):
+    """Same geometry twice: the second job reuses the worker's analyzer and
+    in-process compiled programs (identical scores, no re-setup)."""
+    rp, dp = _mk_pair(tmp_path, rng)
+    service.start()
+    j1 = _wait(service.submit({"reference": rp, "distorted": dp,
+                               "precision": "float"}))
+    j2 = _wait(service.submit({"reference": rp, "distorted": dp,
+                               "precision": "float"}))
+    assert j1.status == j2.status == "done"
+    assert j2.result["vmaf_score"] == pytest.approx(
+        j1.result["vmaf_score"], abs=1e-9)
+    assert service._analyzer is not None  # built once, reused
+
+
+def test_bad_specs_rejected(service):
+    assert service.validate_spec({}) is not None
+    assert service.validate_spec({"reference": "a"}) is not None
+    assert service.validate_spec(
+        {"reference": "a", "distorted": "b", "precision": "bogus"}
+    ) is not None
+    assert service.validate_spec(
+        {"reference": "a", "distorted": "b", "nope": 1}
+    ) is not None
+    assert service.validate_spec(
+        {"reference": "a", "distorted": "b", "subsample": "2"}
+    ) is not None
+    assert service.validate_spec({"reference": "a", "distorted": "b"}) is None
+    with pytest.raises(ValueError):
+        service.submit({"reference": "a"})
+
+
+def test_cancel_queued_job(service, tmp_path, rng):
+    rp, dp = _mk_pair(tmp_path, rng)
+    # Submit before the worker starts so the job is reliably still queued.
+    job = service.submit({"reference": rp, "distorted": dp,
+                          "precision": "float"})
+    assert service.cancel(job.id) is True
+    assert job.status == "cancelled"
+    service.start()
+    time.sleep(0.3)
+    assert job.status == "cancelled"  # worker skipped it
+    assert service.cancel("job-999") is False
+
+
+def test_failed_job_reports_error_and_worker_survives(service, tmp_path, rng):
+    service.start()
+    bad = service.submit({"reference": "/nonexistent/a.y4m",
+                          "distorted": "/nonexistent/b.y4m"})
+    _wait(bad)
+    assert bad.status == "error"
+    assert bad.error
+    # The worker is still alive and scores the next job.
+    rp, dp = _mk_pair(tmp_path, rng)
+    ok = _wait(service.submit({"reference": rp, "distorted": dp,
+                               "precision": "float"}))
+    assert ok.status == "done", ok.error
+    assert service.stats()["jobs_failed"] == 1
+
+
+def test_http_surface(service, tmp_path, rng):
+    rp, dp = _mk_pair(tmp_path, rng)
+    service.start()
+    httpd = service.make_server(port=0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+
+        def req(method, path, body=None):
+            conn.request(method, path,
+                         body=json.dumps(body) if body is not None else None)
+            r = conn.getresponse()
+            return r.status, json.loads(r.read() or b"{}")
+
+        code, health = req("GET", "/healthz")
+        assert code == 200 and health["status"] == "ok"
+
+        code, models = req("GET", "/models")
+        assert code == 200 and "vmaf_v0.6.1" in models["models"]
+
+        code, out = req("POST", "/score",
+                        {"reference": rp, "distorted": dp,
+                         "precision": "float"})
+        assert code == 202
+        job_id = out["job_id"]
+
+        deadline = time.time() + 120
+        while True:
+            code, j = req("GET", f"/jobs/{job_id}")
+            assert code == 200
+            if j["status"] not in ("queued", "running"):
+                break
+            assert time.time() < deadline
+            time.sleep(0.1)
+        assert j["status"] == "done", j.get("error")
+        assert 0.0 <= j["result"]["vmaf_score"] <= 100.0
+
+        code, listing = req("GET", "/jobs")
+        assert code == 200 and listing["jobs"][0]["job_id"] == job_id
+
+        code, err = req("POST", "/score", {"reference": rp})
+        assert code == 400 and "distorted" in err["error"]
+
+        code, _ = req("GET", "/jobs/job-404")
+        assert code == 404
+        code, _ = req("POST", f"/jobs/{job_id}/cancel")
+        assert code == 409  # finished, not queued
+        code, _ = req("GET", "/bogus")
+        assert code == 404
+        conn.close()
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+
+
+def test_signal_connected_scope():
+    sig = Signal(int, name="s")
+    seen = []
+    with sig.connected(seen.append):
+        sig.emit(1)
+    sig.emit(2)
+    assert seen == [1]
