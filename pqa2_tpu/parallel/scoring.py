@@ -94,6 +94,7 @@ def make_shardmap_scorer(
     mesh: Mesh,
     model: Union[str, VMAFModel, BootstrapModel] = "vmaf_v0.6.1",
     precision: Optional[str] = None,
+    bit_depth: int = 8,
 ):
     """Frame-parallel scorer that runs the fused Pallas kernels per shard.
 
@@ -147,7 +148,8 @@ def make_shardmap_scorer(
         # dist halos are only sliced off again (VIF/ADM are frame-local).
         dist_full = jnp.concatenate([dist_blk[:1], dist_blk, dist_blk[-1:]])
         return extract_features_batched(
-            ref_full, dist_full, has_prev=True, has_next=True, **params
+            ref_full, dist_full, has_prev=True, has_next=True,
+            bit_depth=bit_depth, **params
         )
 
     @jax.jit
@@ -176,8 +178,13 @@ def score_clip_sharded(
     model: Union[str, VMAFModel, BootstrapModel] = "vmaf_v0.6.1",
     precision: Optional[str] = None,
     scorer=None,
+    bit_depth: int = 8,
 ):
     """Whole-clip scoring over the mesh's data axis for arbitrary N.
+
+    >8-bit sources: pass luma as f32 on the 8-bit scale (codes /
+    2^(depth-8)) with ``bit_depth`` set, the pipeline-wide convention
+    (pipeline/features.py docstring).
 
     Pads the frame batch up to a multiple of the data-axis size by
     repeating the last frame (shard_map needs even shards), runs the
@@ -205,7 +212,8 @@ def score_clip_sharded(
         dist_luma = jnp.concatenate(
             [jnp.asarray(dist_luma)] + [jnp.asarray(dist_luma[-1:])] * pad)
     if scorer is None:
-        scorer = make_shardmap_scorer(mesh, mdl, precision)
+        scorer = make_shardmap_scorer(mesh, mdl, precision,
+                                      bit_depth=bit_depth)
     out = scorer(shard_frames(ref_luma, mesh), shard_frames(dist_luma, mesh))
     # Writable host copies (np.asarray of a jax array is read-only).
     res = {k: np.array(v)[..., :n] if k == "vmaf_bootstrap"

@@ -135,11 +135,11 @@ def _run_batch_suite_sharded(
         raise ValueError("batch spec has no pairs/entries")
 
     os.makedirs(out_dir, exist_ok=True)
-    mdl = get_model(model)
-    scorers: Dict[str, object] = {}  # one compile per model name
-    luma_cache: Dict[str, np.ndarray] = {}  # ladders reuse one reference
+    scorers: Dict[object, object] = {}  # one compile per (model, depth)
+    luma_cache: Dict[str, tuple] = {}  # ladders reuse one reference
 
-    def luma_of(path: str) -> np.ndarray:
+    def luma_of(path: str):
+        """-> (luma (N,H,W) in source dtype, source bit depth)."""
         if path in luma_cache:
             # LRU touch: a ladder's shared reference is hit on every rung;
             # plain FIFO would evict it first (it is the oldest insertion)
@@ -150,7 +150,8 @@ def _run_batch_suite_sharded(
             if len(luma_cache) > 4:  # bound host memory on big sweeps
                 luma_cache.pop(next(iter(luma_cache)))
             with VideoReader(path) as r:
-                luma_cache[path] = np.stack([f["y"] for f in r])
+                depth = int(getattr(r.info, "bit_depth", 8) or 8)
+                luma_cache[path] = (np.stack([f["y"] for f in r]), depth)
         return luma_cache[path]
 
     nd = mesh.shape.get("data", 1)
@@ -167,12 +168,21 @@ def _run_batch_suite_sharded(
         os.makedirs(clip_dir, exist_ok=True)
         t0 = time.perf_counter()
         try:
-            ref_y = luma_of(entry["reference"])
-            dist_y = luma_of(entry["distorted"])
-            if mname not in scorers:
-                scorers[mname] = make_shardmap_scorer(mesh, mname)
+            ref_y, ref_depth = luma_of(entry["reference"])
+            dist_y, dist_depth = luma_of(entry["distorted"])
+            # Pipeline-wide depth convention: >8-bit pairs score as f32 on
+            # the 8-bit scale with bit_depth carrying the native grid
+            # (mixed pairs promote to the deeper grid, like stream_score).
+            depth = max(ref_depth, dist_depth)
+            if depth > 8:
+                ref_y = ref_y.astype(np.float32) / (1 << (ref_depth - 8))
+                dist_y = dist_y.astype(np.float32) / (1 << (dist_depth - 8))
+            key = (mname, depth)
+            if key not in scorers:
+                scorers[key] = make_shardmap_scorer(mesh, mname,
+                                                    bit_depth=depth)
             res = score_clip_sharded(ref_y, dist_y, mesh, model=mname,
-                                     scorer=scorers[mname])
+                                     scorer=scorers[key], bit_depth=depth)
         except Exception as e:  # keep sweeping; record the failure
             log(f"  failed: {e}")
             rows.append({"name": name, "error": str(e)})
@@ -181,9 +191,13 @@ def _run_batch_suite_sharded(
         n = res.pop("n_frames")
         vmaf = res.pop("vmaf")
         res.pop("vmaf_bootstrap", None)
+        emdl = get_model(mname)  # JSON schema follows the ENTRY's model
         scores = ClipScores(
-            model_name=mname, feature_names=tuple(mdl.feature_names),
+            model_name=mname, feature_names=tuple(emdl.feature_names),
             features=res, vmaf=vmaf,
+            peak=float((1 << depth) - 1),
+            uses_integer_features=getattr(emdl, "uses_integer_features",
+                                          True),
         )
         json_path = os.path.join(clip_dir, f"{name}_vmaf.json")
         write_vmaf_json(scores, json_path)

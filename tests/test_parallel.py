@@ -169,3 +169,67 @@ def test_sharded_batch_suite_matches_single_device(tmp_path):
         np.testing.assert_allclose(per_frame, single.vmaf, atol=5e-3)
     # Harsher rung scores lower.
     assert summary["clips"][1]["vmaf"] < summary["clips"][0]["vmaf"]
+
+
+def test_sharded_batch_suite_10bit_and_per_entry_model(tmp_path):
+    """Mesh sweep depth handling: a 10-bit pair scores like stream_score
+    (f32 8-bit scale + native-grid bit_depth, not raw uint16 codes), and a
+    per-entry float model emits float_*-prefixed JSON keys."""
+    import json
+
+    import numpy as np
+
+    from pqa2_tpu.io.y4m import write_y4m
+    from pqa2_tpu.pipeline.batch import run_batch_suite
+    from pqa2_tpu.pipeline.streaming import stream_score
+
+    rng = np.random.default_rng(5)
+    n, h, w = 8, 48, 64
+    base = rng.uniform(16, 235, size=(n, h, w))
+    for _ in range(2):
+        base = (base + np.roll(base, 1, -1) + np.roll(base, -1, -1)
+                + np.roll(base, 1, -2) + np.roll(base, -1, -2)) / 5.0
+    ref8 = np.round(base).astype(np.uint8)
+    dist8 = np.clip(ref8.astype(np.int16) + rng.integers(-6, 7, ref8.shape),
+                    0, 255).astype(np.uint8)
+
+    def planes(y, depth=8):
+        c = np.full((h // 2, w // 2), 128 << (depth - 8),
+                    np.uint16 if depth > 8 else np.uint8)
+        return {"y": y, "u": c, "v": c}
+
+    p10r = str(tmp_path / "r10.y4m")
+    p10d = str(tmp_path / "d10.y4m")
+    write_y4m(p10r, [planes(f.astype(np.uint16) << 2, 10) for f in ref8],
+              colorspace="C420p10")
+    write_y4m(p10d, [planes(f.astype(np.uint16) << 2, 10) for f in dist8],
+              colorspace="C420p10")
+    p8r, p8d = str(tmp_path / "r8.y4m"), str(tmp_path / "d8.y4m")
+    write_y4m(p8r, [planes(f) for f in ref8])
+    write_y4m(p8d, [planes(f) for f in dist8])
+
+    mesh = make_mesh(n_data=8, n_space=1)
+    summary = run_batch_suite(
+        {"entries": [
+            {"reference": p10r, "distorted": p10d, "name": "tenbit"},
+            {"reference": p8r, "distorted": p8d, "name": "floatmodel",
+             "model": "vmaf_float_v0.6.1"},
+        ]},
+        str(tmp_path / "suite"), mesh=mesh)
+
+    row10 = summary["clips"][0]
+    assert "error" not in row10, row10
+    want = stream_score(p10r, p10d, with_psnr=False, with_ssim=False)
+    np.testing.assert_allclose(row10["vmaf"], float(np.mean(want.vmaf)),
+                               atol=2e-3)
+    with open(row10["json_path"]) as f:
+        doc = json.load(f)
+    np.testing.assert_allclose(
+        [fr["metrics"]["vmaf"] for fr in doc["frames"]], want.vmaf, atol=5e-3)
+
+    rowf = summary["clips"][1]
+    assert "error" not in rowf, rowf
+    with open(rowf["json_path"]) as f:
+        docf = json.load(f)
+    keys = docf["frames"][0]["metrics"]
+    assert "float_adm2" in keys and "integer_adm2" not in keys
