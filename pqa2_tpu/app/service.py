@@ -74,10 +74,13 @@ def _json_safe(obj):
     if isinstance(obj, (list, tuple)):
         return [_json_safe(v) for v in obj]
     if isinstance(obj, (np.floating, np.integer)):
-        return obj.item()
+        obj = obj.item()  # fall through: item() can yield inf/nan floats
     if isinstance(obj, np.ndarray):
-        return obj.tolist()
+        return [_json_safe(v) for v in obj.tolist()]
     if isinstance(obj, float) and not np.isfinite(obj):
+        # RFC 8259 has no Infinity/NaN literals; strict clients reject them.
+        if np.isnan(obj):
+            return None
         return 1e9 if obj > 0 else -1e9
     return obj
 

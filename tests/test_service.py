@@ -190,6 +190,25 @@ def test_http_surface(service, tmp_path, rng):
         httpd.server_close()
 
 
+def test_json_safe_emits_strict_rfc_json():
+    """Non-finite scores (PSNR inf on an identical pair, the common smoke
+    case) must never reach clients as the non-RFC Infinity/NaN literals."""
+    from pqa2_tpu.app.service import _json_safe
+
+    out = _json_safe({
+        "psnr_score": np.float64(np.inf),
+        "neg": float("-inf"),
+        "nan": np.float32("nan"),
+        "arr": np.array([1.0, np.inf]),
+        "i": np.int64(3),
+    })
+    back = json.loads(json.dumps(out, allow_nan=False))  # raises on inf/nan
+    assert back["psnr_score"] == 1e9 and back["neg"] == -1e9
+    assert back["nan"] is None
+    assert back["arr"] == [1.0, 1e9]
+    assert back["i"] == 3
+
+
 def test_signal_connected_scope():
     sig = Signal(int, name="s")
     seen = []
