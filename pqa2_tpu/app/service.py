@@ -65,6 +65,9 @@ _OPT_FIELDS = {
 }
 _PRECISIONS = ("auto", "integer", "integer_fast", "float")
 _POOLS = ("mean", "min", "max", "harmonic_mean")
+# Finished jobs retained for GET /jobs (specs + results are kept in RAM;
+# a long-lived daemon must not grow without bound).
+_MAX_FINISHED_JOBS = 512
 
 
 def _json_safe(obj):
@@ -138,6 +141,7 @@ class ScoringService:
     def start(self) -> None:
         if self._worker is not None:
             return
+        self._stop.clear()  # support start() after stop()
         self._worker = threading.Thread(
             target=self._worker_loop, name="pqa2-score-worker", daemon=True
         )
@@ -161,7 +165,12 @@ class ScoringService:
             if not v or not isinstance(v, str):
                 return f"missing required field {k!r}"
         for k, t in _OPT_FIELDS.items():
-            if k in spec and spec[k] is not None and not isinstance(spec[k], t):
+            v = spec.get(k)
+            if v is None:  # absent or explicit null = use the default
+                continue
+            # bool subclasses int: reject true/false for numeric fields.
+            if not isinstance(v, t) or (t is not bool
+                                        and isinstance(v, bool)):
                 return f"field {k!r} has wrong type"
         if spec.get("precision") not in (None, *_PRECISIONS):
             return f"precision must be one of {_PRECISIONS}"
@@ -180,16 +189,29 @@ class ScoringService:
             job = Job(id=f"job-{next(self._ids)}", spec=dict(spec))
             self._jobs[job.id] = job
             self._order.append(job.id)
+            self._prune_locked()
         self._q.put(job.id)
         return job
+
+    def _prune_locked(self) -> None:
+        """Drop the oldest finished jobs beyond the retention cap (held
+        lock required).  Queued/running jobs are never dropped."""
+        finished = [i for i in self._order
+                    if self._jobs[i].status not in ("queued", "running")]
+        for i in finished[:max(0, len(finished) - _MAX_FINISHED_JOBS)]:
+            del self._jobs[i]
+            self._order.remove(i)
 
     def get(self, job_id: str) -> Optional[Job]:
         with self._lock:
             return self._jobs.get(job_id)
 
-    def jobs(self) -> List[Dict]:
+    def jobs(self, limit: Optional[int] = None) -> List[Dict]:
         with self._lock:
-            return [self._jobs[i].to_dict() for i in reversed(self._order)]
+            ids = list(reversed(self._order))
+            if limit is not None:
+                ids = ids[:max(0, limit)]
+            return [self._jobs[i].to_dict() for i in ids]
 
     def cancel(self, job_id: str) -> bool:
         """Cancel a queued job.  Running/finished jobs are not interrupted
@@ -261,8 +283,12 @@ class ScoringService:
         )
         analyzer.pool_method = spec.get("pool") or "mean"
         analyzer.feature_subsample = int(spec.get("subsample") or 1)
-        analyzer.psnr_enabled = bool(spec.get("psnr", True))
-        analyzer.ssim_enabled = bool(spec.get("ssim", True))
+        # Explicit JSON null means "use the default" (enabled), like the
+        # other optional fields — only a real false disables a metric.
+        psnr = spec.get("psnr")
+        ssim = spec.get("ssim")
+        analyzer.psnr_enabled = True if psnr is None else bool(psnr)
+        analyzer.ssim_enabled = True if ssim is None else bool(ssim)
         analyzer.set_test_name(spec.get("test_name") or job.id)
 
         errors: List[str] = []
@@ -312,8 +338,21 @@ class ScoringService:
                 self.end_headers()
                 self.wfile.write(body)
 
+            def _route(self):
+                """-> (path sans query/trailing-slash, parsed query dict)."""
+                from urllib.parse import parse_qs, urlsplit
+
+                parts = urlsplit(self.path)
+                return parts.path.rstrip("/"), parse_qs(parts.query)
+
+            def _read_body(self) -> bytes:
+                """Always drain the request body — an unread body desyncs
+                the next request on an HTTP/1.1 keep-alive connection."""
+                n = int(self.headers.get("Content-Length") or 0)
+                return self.rfile.read(n) if n else b""
+
             def do_GET(self):
-                path = self.path.rstrip("/")
+                path, q = self._route()
                 if path in ("", "/healthz"):
                     return self._reply(200, service.stats())
                 if path == "/models":
@@ -321,7 +360,12 @@ class ScoringService:
 
                     return self._reply(200, {"models": available_models()})
                 if path == "/jobs":
-                    return self._reply(200, {"jobs": service.jobs()})
+                    try:
+                        limit = int(q["limit"][0]) if "limit" in q else None
+                    except ValueError:
+                        return self._reply(400,
+                                           {"error": "limit must be an int"})
+                    return self._reply(200, {"jobs": service.jobs(limit)})
                 if path.startswith("/jobs/"):
                     job = service.get(path.split("/", 2)[2])
                     if job is None:
@@ -330,11 +374,11 @@ class ScoringService:
                 return self._reply(404, {"error": f"no route {self.path!r}"})
 
             def do_POST(self):
-                path = self.path.rstrip("/")
+                path, _ = self._route()
+                body = self._read_body()
                 if path == "/score":
                     try:
-                        n = int(self.headers.get("Content-Length") or 0)
-                        spec = json.loads(self.rfile.read(n) or b"{}")
+                        spec = json.loads(body or b"{}")
                     except (ValueError, json.JSONDecodeError) as e:
                         return self._reply(400, {"error": f"bad JSON: {e}"})
                     try:

@@ -151,7 +151,13 @@ def _run_batch_suite_sharded(
                 luma_cache.pop(next(iter(luma_cache)))
             with VideoReader(path) as r:
                 depth = int(getattr(r.info, "bit_depth", 8) or 8)
-                luma_cache[path] = (np.stack([f["y"] for f in r]), depth)
+                y = np.stack([f["y"] for f in r])
+                if depth > 8:
+                    # Convert once at fill time — a ladder re-uses its
+                    # reference on every rung, and a fresh full-clip f32
+                    # copy per rung is the cost this cache exists to avoid.
+                    y = y.astype(np.float32) / (1 << (depth - 8))
+                luma_cache[path] = (y, depth)
         return luma_cache[path]
 
     nd = mesh.shape.get("data", 1)
@@ -173,10 +179,14 @@ def _run_batch_suite_sharded(
             # Pipeline-wide depth convention: >8-bit pairs score as f32 on
             # the 8-bit scale with bit_depth carrying the native grid
             # (mixed pairs promote to the deeper grid, like stream_score).
+            # Deep streams are already f32 from the cache; only a mixed
+            # pair's shallow member still needs promoting here.
             depth = max(ref_depth, dist_depth)
             if depth > 8:
-                ref_y = ref_y.astype(np.float32) / (1 << (ref_depth - 8))
-                dist_y = dist_y.astype(np.float32) / (1 << (dist_depth - 8))
+                if ref_y.dtype != np.float32:
+                    ref_y = ref_y.astype(np.float32)
+                if dist_y.dtype != np.float32:
+                    dist_y = dist_y.astype(np.float32)
             key = (mname, depth)
             if key not in scorers:
                 scorers[key] = make_shardmap_scorer(mesh, mname,

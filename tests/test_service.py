@@ -100,6 +100,17 @@ def test_bad_specs_rejected(service):
     assert service.validate_spec(
         {"reference": "a", "distorted": "b", "subsample": "2"}
     ) is not None
+    # bool subclasses int: true is not a valid subsample/duration
+    assert service.validate_spec(
+        {"reference": "a", "distorted": "b", "subsample": True}
+    ) is not None
+    assert service.validate_spec(
+        {"reference": "a", "distorted": "b", "duration": True}
+    ) is not None
+    # explicit null = use the default, for every optional field
+    assert service.validate_spec(
+        {"reference": "a", "distorted": "b", "psnr": None, "model": None}
+    ) is None
     assert service.validate_spec({"reference": "a", "distorted": "b"}) is None
     with pytest.raises(ValueError):
         service.submit({"reference": "a"})
@@ -180,14 +191,67 @@ def test_http_surface(service, tmp_path, rng):
 
         code, _ = req("GET", "/jobs/job-404")
         assert code == 404
-        code, _ = req("POST", f"/jobs/{job_id}/cancel")
+        # POST with a body the handler must drain even though the route
+        # ignores it — the next keep-alive request would otherwise desync.
+        code, _ = req("POST", f"/jobs/{job_id}/cancel", {"ignored": 1})
         assert code == 409  # finished, not queued
+        code, health = req("GET", "/healthz?probe=1")  # query-safe routing
+        assert code == 200 and health["status"] == "ok"
+        code, listing = req("GET", "/jobs?limit=0")
+        assert code == 200 and listing["jobs"] == []
+        code, _ = req("GET", "/jobs?limit=x")
+        assert code == 400
         code, _ = req("GET", "/bogus")
         assert code == 404
         conn.close()
     finally:
         httpd.shutdown()
         httpd.server_close()
+
+
+def test_restart_after_stop(service, tmp_path, rng):
+    """stop() then start() must yield a live worker (the stop event is
+    cleared), not a silently dead queue."""
+    rp, dp = _mk_pair(tmp_path, rng)
+    service.start()
+    ok = _wait(service.submit({"reference": rp, "distorted": dp,
+                               "precision": "float"}))
+    assert ok.status == "done", ok.error
+    service.stop()
+    service.start()
+    again = _wait(service.submit({"reference": rp, "distorted": dp,
+                                  "precision": "float"}), timeout=60)
+    assert again.status == "done", again.error
+
+
+def test_finished_job_retention_cap(service, monkeypatch):
+    """A long-lived daemon prunes old finished jobs; queued jobs survive."""
+    import pqa2_tpu.app.service as service_mod
+
+    monkeypatch.setattr(service_mod, "_MAX_FINISHED_JOBS", 3)
+    # Never start the worker: manufacture finished + queued jobs directly.
+    jobs = [service.submit({"reference": "r", "distorted": "d"})
+            for _ in range(6)]
+    for j in jobs[:5]:
+        service.cancel(j.id)
+    service.submit({"reference": "r", "distorted": "d"})  # triggers prune
+    listed = {j["job_id"]: j["status"] for j in service.jobs()}
+    finished = [i for i, s in listed.items() if s == "cancelled"]
+    assert len(finished) == 3  # oldest two pruned
+    assert jobs[0].id not in listed and jobs[1].id not in listed
+    assert jobs[5].id in listed  # queued jobs are never dropped
+    assert len(service.jobs(limit=1)) == 1
+
+
+def test_null_psnr_means_default_enabled(service, tmp_path, rng):
+    rp, dp = _mk_pair(tmp_path, rng)
+    service.start()
+    job = _wait(service.submit({"reference": rp, "distorted": dp,
+                                "precision": "float", "psnr": None,
+                                "ssim": False}))
+    assert job.status == "done", job.error
+    assert job.result["psnr_score"] is not None
+    assert job.result.get("ssim_score") in (None, 0, 0.0)
 
 
 def test_json_safe_emits_strict_rfc_json():
