@@ -29,6 +29,16 @@ SSIM_C1 = int(0.01 * 0.01 * 255 * 255 * 64 + 0.5)  # 416
 SSIM_C2 = int(0.03 * 0.03 * 255 * 255 * 64 * 63 + 0.5)  # 235963
 
 
+def ssim_constants(bit_depth: int = 8):
+    """ffmpeg's c1/c2 from the native max code value (ssim_end1x takes
+    ``max=(1<<bitdepth)-1`` for >8-bit input; 8-bit uses the macros
+    above — this reproduces both)."""
+    mx = (1 << bit_depth) - 1
+    c1 = int(0.01 * 0.01 * mx * mx * 64 + 0.5)
+    c2 = int(0.03 * 0.03 * mx * mx * 64 * 63 + 0.5)
+    return c1, c2
+
+
 def _block_sums(plane: np.ndarray):
     """Sums over non-overlapping 4x4 blocks. Returns s1-style arrays
     (h//4, w//4) as float64 (integer-valued for uint8 input)."""
@@ -37,7 +47,11 @@ def _block_sums(plane: np.ndarray):
     return p.reshape(h4, 4, w4, 4).sum(axis=(1, 3))
 
 
-def ssim_plane(ref: np.ndarray, dist: np.ndarray) -> float:
+def ssim_plane(ref: np.ndarray, dist: np.ndarray, bit_depth: int = 8) -> float:
+    """Inputs are NATIVE codes at ``bit_depth`` (ffmpeg's >8-bit ssim path
+    sums native 16-bit codes in int64 and scales c1/c2 with the native
+    max; float64 holds those sums exactly)."""
+    c1, c2 = ssim_constants(bit_depth)
     r = ref.astype(np.float64)
     d = dist.astype(np.float64)
     s1 = _block_sums(r)
@@ -52,8 +66,8 @@ def ssim_plane(ref: np.ndarray, dist: np.ndarray) -> float:
     fs1, fs2, fss, fs12 = group(s1), group(s2), group(ss), group(s12)
     vars_ = fss * 64.0 - fs1 * fs1 - fs2 * fs2
     covar = fs12 * 64.0 - fs1 * fs2
-    num = (2.0 * fs1 * fs2 + SSIM_C1) * (2.0 * covar + SSIM_C2)
-    den = (fs1 * fs1 + fs2 * fs2 + SSIM_C1) * (vars_ + SSIM_C2)
+    num = (2.0 * fs1 * fs2 + c1) * (2.0 * covar + c2)
+    den = (fs1 * fs1 + fs2 * fs2 + c1) * (vars_ + c2)
     return float(np.mean(num / den))
 
 
@@ -63,13 +77,14 @@ def ssim_db(ssim: float) -> float:
     return float(-10.0 * np.log10(1.0 - ssim))
 
 
-def ssim_frame(ref: Dict[str, np.ndarray], dist: Dict[str, np.ndarray]) -> Dict[str, float]:
+def ssim_frame(ref: Dict[str, np.ndarray], dist: Dict[str, np.ndarray],
+               bit_depth: int = 8) -> Dict[str, float]:
     """Per-frame SSIM for planar YUV dicts: Y/U/V/All (+ dB)."""
     out: Dict[str, float] = {}
     total = 0.0
     total_w = 0
     for plane in ("y", "u", "v"):
-        v = ssim_plane(ref[plane], dist[plane])
+        v = ssim_plane(ref[plane], dist[plane], bit_depth=bit_depth)
         out[f"ssim_{plane}"] = v
         w = ref[plane].size
         total += v * w

@@ -41,7 +41,8 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _make_kernel(tile_b: int, tile_w: int, h: int, w: int,
-                 n_window_rows: int, n_window_cols: int, num_tiles: int):
+                 n_window_rows: int, n_window_cols: int, num_tiles: int,
+                 c1: float = float(SSIM_C1), c2: float = float(SSIM_C2)):
     rows = tile_b * 4 + 4     # one halo block row for the 2x2 grouping
     rows8 = _round_up(rows, 8)
     twp = tile_w + 128        # one halo lane group for the 2x2 grouping
@@ -100,8 +101,8 @@ def _make_kernel(tile_b: int, tile_w: int, h: int, w: int,
         fs1, fs2, fss, fs12 = group(s1), group(s2), group(ss), group(s12)
         vars_ = fss * 64.0 - fs1 * fs1 - fs2 * fs2
         covar = fs12 * 64.0 - fs1 * fs2
-        num = (2.0 * fs1 * fs2 + SSIM_C1) * (2.0 * covar + SSIM_C2)
-        den = (fs1 * fs1 + fs2 * fs2 + SSIM_C1) * (vars_ + SSIM_C2)
+        num = (2.0 * fs1 * fs2 + c1) * (2.0 * covar + c2)
+        den = (fs1 * fs1 + fs2 * fs2 + c1) * (vars_ + c2)
         val = num / den
 
         row_ids = jax.lax.broadcasted_iota(jnp.int32, val.shape, 0)
@@ -149,14 +150,22 @@ def _make_kernel(tile_b: int, tile_w: int, h: int, w: int,
     return kernel, rows
 
 
-@functools.partial(jax.jit, static_argnames=("tile_b", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("tile_b", "interpret", "bit_depth"))
 def ssim_sse_pallas(
     ref: jnp.ndarray,
     dist: jnp.ndarray,
     tile_b: int = DEFAULT_TILE_B,
     interpret: bool = False,
+    bit_depth: int = 8,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """(N, H, W) plane pair -> ((N,) ffmpeg-variant SSIM, (N,) SSE)."""
+    """(N, H, W) plane pair -> ((N,) ffmpeg-variant SSIM, (N,) SSE).
+
+    Inputs on the pipeline's 8-bit scale; ``bit_depth`` selects ffmpeg's
+    native-max constants (ops/ssim.py:scaled_ssim_constants)."""
+    from pqa2_tpu.ops.ssim import scaled_ssim_constants
+
+    c1, c2 = scaled_ssim_constants(bit_depth)
     if not interpret and jax.default_backend() != "tpu":
         interpret = True
     n, h, w = ref.shape
@@ -181,7 +190,8 @@ def ssim_sse_pallas(
     dist_p = prep(dist)
 
     kernel, rows = _make_kernel(tile_b, tile_w, h, w,
-                                n_window_rows, n_window_cols, num_tiles)
+                                n_window_rows, n_window_cols, num_tiles,
+                                c1=c1, c2=c2)
     acc = pl.pallas_call(
         kernel,
         grid=(n, num_tiles, num_w_tiles),
@@ -208,6 +218,8 @@ def ssim_plane_pallas(
     dist: jnp.ndarray,
     tile_b: int = DEFAULT_TILE_B,
     interpret: bool = False,
+    bit_depth: int = 8,
 ) -> jnp.ndarray:
     """(N, H, W) plane pair -> (N,) SSIM (drop-in for ssim_plane_batched)."""
-    return ssim_sse_pallas(ref, dist, tile_b=tile_b, interpret=interpret)[0]
+    return ssim_sse_pallas(ref, dist, tile_b=tile_b, interpret=interpret,
+                           bit_depth=bit_depth)[0]

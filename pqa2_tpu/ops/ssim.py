@@ -12,12 +12,24 @@ tests enforce against the float64 oracle.
 
 from __future__ import annotations
 
+import functools
 from typing import Dict
 
 import jax
 import jax.numpy as jnp
 
-from pqa2_tpu.golden.ssim import SSIM_C1, SSIM_C2
+from pqa2_tpu.golden.ssim import SSIM_C1, SSIM_C2, ssim_constants
+
+
+def scaled_ssim_constants(bit_depth: int = 8):
+    """ffmpeg's native-max c1/c2 mapped onto the pipeline's 8-bit scale.
+
+    ffmpeg's >8-bit ssim path evaluates native codes with
+    c = f((1<<depth)-1); on values divided by div = 2^(depth-8) the same
+    ratio falls out of c/div^2 exactly (every sum term scales by div^2)."""
+    c1, c2 = ssim_constants(bit_depth)
+    div2 = float(1 << (bit_depth - 8)) ** 2
+    return c1 / div2, c2 / div2
 
 
 def _block_sums(p: jnp.ndarray) -> jnp.ndarray:
@@ -33,9 +45,14 @@ def _group(a: jnp.ndarray) -> jnp.ndarray:
     return a[:, :-1, :-1] + a[:, :-1, 1:] + a[:, 1:, :-1] + a[:, 1:, 1:]
 
 
-@jax.jit
-def ssim_plane_batched(ref: jnp.ndarray, dist: jnp.ndarray) -> jnp.ndarray:
-    """(N, H, W) plane pair -> (N,) per-frame SSIM (ffmpeg variant)."""
+@functools.partial(jax.jit, static_argnames=("bit_depth",))
+def ssim_plane_batched(ref: jnp.ndarray, dist: jnp.ndarray,
+                       bit_depth: int = 8) -> jnp.ndarray:
+    """(N, H, W) plane pair -> (N,) per-frame SSIM (ffmpeg variant).
+
+    Inputs on the pipeline's 8-bit scale; ``bit_depth`` selects ffmpeg's
+    native-max constants (see :func:`scaled_ssim_constants`)."""
+    c1, c2 = scaled_ssim_constants(bit_depth)
     r = ref.astype(jnp.float32)
     d = dist.astype(jnp.float32)
     s1 = _block_sums(r)
@@ -46,8 +63,8 @@ def ssim_plane_batched(ref: jnp.ndarray, dist: jnp.ndarray) -> jnp.ndarray:
     fs1, fs2, fss, fs12 = _group(s1), _group(s2), _group(ss), _group(s12)
     vars_ = fss * 64.0 - fs1 * fs1 - fs2 * fs2
     covar = fs12 * 64.0 - fs1 * fs2
-    num = (2.0 * fs1 * fs2 + SSIM_C1) * (2.0 * covar + SSIM_C2)
-    den = (fs1 * fs1 + fs2 * fs2 + SSIM_C1) * (vars_ + SSIM_C2)
+    num = (2.0 * fs1 * fs2 + c1) * (2.0 * covar + c2)
+    den = (fs1 * fs1 + fs2 * fs2 + c1) * (vars_ + c2)
     return jnp.mean(num / den, axis=(-2, -1))
 
 
@@ -68,7 +85,7 @@ def ssim_db_np(ssim):
     )
 
 
-def ssim_sse_plane(ref: jnp.ndarray, dist: jnp.ndarray):
+def ssim_sse_plane(ref: jnp.ndarray, dist: jnp.ndarray, bit_depth: int = 8):
     """(N, H, W) plane pair -> ((N,) SSIM, (N,) SSE) in one pass.
 
     On TPU the fused Pallas kernel computes both statistics from a single
@@ -77,7 +94,7 @@ def ssim_sse_plane(ref: jnp.ndarray, dist: jnp.ndarray):
     if jax.default_backend() == "tpu":
         from pqa2_tpu.ops.pallas_ssim import ssim_sse_pallas
 
-        return ssim_sse_pallas(ref, dist)
+        return ssim_sse_pallas(ref, dist, bit_depth=bit_depth)
     from pqa2_tpu.ops.psnr import _sse
 
-    return ssim_plane_batched(ref, dist), _sse(ref, dist)
+    return ssim_plane_batched(ref, dist, bit_depth=bit_depth), _sse(ref, dist)

@@ -9,6 +9,7 @@ motion2 is exact across chunk boundaries (SURVEY.md section 5.7).
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 from typing import Dict, List, Optional, Sequence, Union
 
@@ -250,9 +251,11 @@ def score_planes(
     """Full scoring from planar YUV frame lists (io.VideoReader output):
     VMAF on luma + optional PSNR/SSIM over all three planes.
 
-    For >8-bit sources pass ``bit_depth``: features/SSIM evaluate on the
-    8-bit scale (libvmaf normalises high-bit-depth input the same way) and
-    PSNR uses the native peak. For per-stream depths use
+    For >8-bit sources pass ``bit_depth``: features evaluate on the
+    8-bit scale (libvmaf normalises high-bit-depth input the same way),
+    SSIM uses ffmpeg's native-max constants mapped onto that scale
+    (ops/ssim.py:scaled_ssim_constants), and PSNR uses the native peak.
+    For per-stream depths use
     pipeline.streaming.stream_score, which reads them from the container.
     subsample=k keeps every k-th frame (stream_score semantics: skipped
     frames cost nothing, all metrics run on the sampled frames).
@@ -332,8 +335,9 @@ def score_planes(
         total = 0.0
         total_w = 0
         total_sse = 0.0
+        ssim_fn = functools.partial(ssim_sse_plane, bit_depth=bit_depth)
         for p, (r, d) in planes.items():
-            sv, sse = chunked(ssim_sse_plane, r, d)
+            sv, sse = chunked(ssim_fn, r, d)
             ssim[f"ssim_{p}"] = sv
             w = r.shape[-2] * r.shape[-1]
             total = total + sv * w
@@ -376,8 +380,9 @@ def score_planes(
         ssim: Dict[str, np.ndarray] = {}
         total = 0.0
         total_w = 0
+        ssim_fn = functools.partial(ssim_plane_batched, bit_depth=bit_depth)
         for p, (r, d) in planes.items():
-            (v,) = chunked(ssim_plane_batched, r, d)
+            (v,) = chunked(ssim_fn, r, d)
             ssim[f"ssim_{p}"] = v
             w = r.shape[-2] * r.shape[-1]
             total = total + v * w

@@ -288,8 +288,9 @@ def stream_score(
             if with_psnr and with_ssim:
                 # Fused path: one pass per plane yields SSIM + SSE (on TPU
                 # the Pallas kernel reads each tile once for both). SSIM is
-                # evaluated on the 8-bit scale (ffmpeg's constants), PSNR on
-                # native code values — the SSE rescales exactly.
+                # evaluated on the 8-bit scale with ffmpeg's native-max
+                # constants mapped onto it; PSNR on native code values —
+                # the SSE rescales exactly.
                 from pqa2_tpu.ops.psnr import psnr_from_mse_np
                 from pqa2_tpu.ops.ssim import ssim_db_np, ssim_sse_plane
 
@@ -309,7 +310,7 @@ def stream_score(
                 for p, (r, d) in {"y": (r_y, d_y), "u": (r_u, d_u),
                                   "v": (r_v, d_v)}.items():
                     # r/d are device arrays already on the 8-bit scale.
-                    vv, sse8 = ssim_sse_plane(r, d)
+                    vv, sse8 = ssim_sse_plane(r, d, bit_depth=max_depth)
                     vv = np.asarray(vv)
                     part[f"ssim_{p}"] = vv
                     w = r.shape[-2] * r.shape[-1]
@@ -348,14 +349,17 @@ def stream_score(
             elif with_ssim:
                 from pqa2_tpu.ops.ssim import ssim_db_np
 
+                max_depth = max(meta.get("ref_depth", 8),
+                                meta.get("dist_depth", 8))
                 part: Dict[str, np.ndarray] = {}
                 tot = 0.0
                 tot_w = 0
                 for p, (r, d) in {"y": (r_y, d_y), "u": (r_u, d_u),
                                   "v": (r_v, d_v)}.items():
-                    # ffmpeg's 8x8 SSIM constants are 8-bit; r/d are already
-                    # on the 8-bit scale for any depth.
-                    vv = np.asarray(ssim_plane_batched(r, d))
+                    # r/d are on the 8-bit scale for any depth; the
+                    # constants follow ffmpeg's native max.
+                    vv = np.asarray(ssim_plane_batched(
+                        r, d, bit_depth=max_depth))
                     part[f"ssim_{p}"] = vv
                     w = r.shape[-2] * r.shape[-1]
                     tot = tot + vv * w

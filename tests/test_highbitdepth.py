@@ -91,8 +91,16 @@ def test_12bit_matches_8bit_scores(tmp_path, rng):
     s8 = stream_score(p8r, p8d, with_ssim=True)
     s12 = stream_score(p12r, p12d, with_ssim=True)
     np.testing.assert_allclose(s12.vmaf, s8.vmaf, atol=1e-3)
+    # SSIM pins against the depth-12 oracle (ffmpeg scales c1/c2 with the
+    # native max, so the 12-bit value legitimately differs from the 8-bit
+    # run by ~1e-5 — the constants, not the codes).
+    from pqa2_tpu.golden.ssim import ssim_plane
+
+    want12 = np.array([ssim_plane(ref12[i], dist12[i], bit_depth=12)
+                       for i in range(n)])
+    np.testing.assert_allclose(s12.ssim["ssim_y"], want12, atol=2e-6)
     np.testing.assert_allclose(s12.ssim["ssim_y"], s8.ssim["ssim_y"],
-                               atol=1e-5)
+                               atol=5e-5)
     # Same relative error at 16x amplitude and 16x peak -> same dB.
     np.testing.assert_allclose(s12.psnr["psnr_y"], s8.psnr["psnr_y"],
                                atol=0.05)
@@ -278,3 +286,39 @@ def test_streaming_subsample_skips_compute(tmp_path, rng):
     full = stream_score(pr, pd, with_psnr=False, with_ssim=False)
     np.testing.assert_allclose(s.features["adm2"], full.features["adm2"][::5],
                                atol=1e-5)
+
+
+def test_ssim_10bit_uses_native_max_constants(rng):
+    """ffmpeg's >8-bit ssim path scales c1/c2 with the native max
+    (ssim_end1x, max=1023) and sums native codes; the device path must
+    reproduce it from 8-bit-scale inputs via constants/div^2 — NOT by
+    reusing the 8-bit 416/235963 macros."""
+    from pqa2_tpu.golden.ssim import ssim_constants, ssim_plane
+    from pqa2_tpu.ops.ssim import scaled_ssim_constants, ssim_plane_batched
+
+    # ffmpeg's int64 rounding of .01^2*max^2*64 (+63x for c2).
+    assert ssim_constants(8) == (416, 235963)
+    assert ssim_constants(10) == (6698, 3797644)
+    assert ssim_constants(12) == (107322, 60851438)
+    c1, c2 = scaled_ssim_constants(10)
+    assert c1 == 6698 / 16 and c2 == 3797644 / 16
+
+    n, h, w = 3, 96, 128
+    ref = rng.integers(0, 1024, (n, h, w)).astype(np.uint16)
+    dist = np.clip(ref.astype(np.int32) + rng.integers(-33, 34, ref.shape),
+                   0, 1023).astype(np.uint16)
+    want = np.array([ssim_plane(ref[i], dist[i], bit_depth=10)
+                     for i in range(n)])
+    got = np.asarray(ssim_plane_batched(ref.astype(np.float32) / 4.0,
+                                        dist.astype(np.float32) / 4.0,
+                                        bit_depth=10))
+    np.testing.assert_allclose(got, want, atol=2e-6)
+    # The depth-10 constants are a real (if small) effect: identical codes
+    # still give exactly 1, and the wrong-constant result differs.
+    ident = np.asarray(ssim_plane_batched(ref.astype(np.float32) / 4.0,
+                                          ref.astype(np.float32) / 4.0,
+                                          bit_depth=10))
+    np.testing.assert_allclose(ident, 1.0, atol=1e-7)
+    got8 = np.asarray(ssim_plane_batched(ref.astype(np.float32) / 4.0,
+                                         dist.astype(np.float32) / 4.0))
+    assert np.abs(got8 - want).max() > np.abs(got - want).max()
