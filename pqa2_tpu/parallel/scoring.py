@@ -28,6 +28,7 @@ def sharded_extract(
     ref: jax.Array,
     dist: jax.Array,
     mesh: Mesh,
+    bit_depth: int = 8,
     **feature_params,
 ) -> Dict[str, jax.Array]:
     """Feature extraction with explicit frame sharding on inputs.
@@ -41,7 +42,8 @@ def sharded_extract(
     ref = jax.lax.with_sharding_constraint(ref, sh)
     dist = jax.lax.with_sharding_constraint(dist, sh)
     feature_params = dict(feature_params, backend="xla")
-    return extract_features_batched(ref, dist, **feature_params)
+    return extract_features_batched(ref, dist, bit_depth=bit_depth,
+                                    **feature_params)
 
 
 def make_sharded_scorer(
@@ -49,6 +51,7 @@ def make_sharded_scorer(
     model: Union[str, VMAFModel, BootstrapModel] = "vmaf_v0.6.1",
     with_psnr_ssim: bool = False,
     precision: Optional[str] = None,
+    bit_depth: int = 8,
 ):
     """Build a jitted sharded scoring step for a mesh + model.
 
@@ -56,6 +59,10 @@ def make_sharded_scorer(
     (+ psnr_y/ssim_y when with_psnr_ssim). Inputs are (N, H, W) float32
     batches; place them with parallel.mesh.shard_frames (or let jit move
     them — the constraint inside forces the layout either way).
+
+    >8-bit sources: pass luma on the 8-bit scale with ``bit_depth`` set —
+    the integer feature path recovers native codes, PSNR uses the native
+    peak and SSIM ffmpeg's native-max constants (the stream_score rules).
     """
     mdl = get_model(model) if isinstance(model, str) else model
     params = model_feature_params(mdl, precision)
@@ -69,7 +76,8 @@ def make_sharded_scorer(
 
     @functools.partial(jax.jit, out_shardings=None)
     def step(ref: jax.Array, dist: jax.Array) -> Dict[str, jax.Array]:
-        feats = sharded_extract(ref, dist, mesh, **params)
+        feats = sharded_extract(ref, dist, mesh, bit_depth=bit_depth,
+                                **params)
         x = jnp.stack([feats[k] for k in names], axis=-1)
         if isinstance(mdl, BootstrapModel):
             vmaf, all_scores = predictor(x)
@@ -82,8 +90,12 @@ def make_sharded_scorer(
 
             d = ref - dist
             mse = jnp.mean(d * d, axis=(-2, -1))
-            out["psnr_y"] = psnr_from_mse(mse)
-            out["ssim_y"] = ssim_plane_batched(ref, dist)
+            # mse is on the 8-bit scale; the native peak lands there as
+            # ((1<<d)-1)/2^(d-8) (255.75 for 10-bit) — stream_score's rule.
+            peak8 = ((1 << bit_depth) - 1) / float(1 << (bit_depth - 8))
+            out["psnr_y"] = psnr_from_mse(mse, max_value=peak8)
+            out["ssim_y"] = ssim_plane_batched(ref, dist,
+                                               bit_depth=bit_depth)
         out["vmaf"] = jax.lax.with_sharding_constraint(out["vmaf"], score_sharding)
         return out
 

@@ -54,6 +54,40 @@ def test_sharded_data_only_mesh(rng):
     assert np.all(np.asarray(out["ssim_y"]) <= 1.0)
 
 
+def test_sharded_scorer_native_10bit(rng):
+    """The pjit scorer threads bit_depth: integer features run on the
+    native grid, PSNR uses the native peak on the 8-bit scale (1023/4)
+    and SSIM ffmpeg's depth-10 constants — stream_score's rules."""
+    from pqa2_tpu.ops.psnr import psnr_from_mse_np
+    from pqa2_tpu.ops.ssim import ssim_plane_batched
+
+    ref, dist = _clip(rng, n=8)
+    # True 10-bit codes (not on the 8-bit grid), presented on the 8-bit
+    # scale per the pipeline convention.
+    ref10 = np.clip(np.round(ref * 4) + rng.integers(-1, 2, ref.shape),
+                    0, 1023).astype(np.float32)
+    dist10 = np.clip(np.round(dist * 4) + rng.integers(-1, 2, ref.shape),
+                     0, 1023).astype(np.float32)
+    r8, d8 = ref10 / 4.0, dist10 / 4.0
+
+    mesh = make_mesh(n_data=8, n_space=1)
+    step = make_sharded_scorer(mesh, with_psnr_ssim=True, bit_depth=10)
+    out = step(shard_frames(r8, mesh), shard_frames(d8, mesh))
+
+    want_ssim = np.asarray(ssim_plane_batched(r8, d8, bit_depth=10))
+    np.testing.assert_allclose(np.asarray(out["ssim_y"]), want_ssim,
+                               rtol=0, atol=1e-5)
+    mse8 = np.mean((r8 - d8) ** 2, axis=(-2, -1))
+    want_psnr = psnr_from_mse_np(mse8, max_value=1023.0 / 4.0)
+    np.testing.assert_allclose(np.asarray(out["psnr_y"]), want_psnr,
+                               rtol=0, atol=1e-3)
+    # Integer features on the native grid: match single-device scoring
+    # at the same depth.
+    whole = score_clip(r8, d8, chunk_size=8, bit_depth=10)
+    np.testing.assert_allclose(np.asarray(out["vmaf"]), whole.vmaf,
+                               rtol=0, atol=5e-3)
+
+
 def test_motion_halo_across_shards(rng):
     """motion2 must see true neighbour frames across device boundaries."""
     ref, dist = _clip(rng, n=8)
