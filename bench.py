@@ -45,13 +45,15 @@ def make_clip_u8(n, h, w, seed=0):
 
 
 def bench_config(name, model_name, n, h, w, iters=4, log=print, backend=None,
-                 precision="float"):
+                 precision="float", bit_depth=8):
     """One jitted scoring step, timed.
 
     precision="float" is the f32 throughput configuration (fused Pallas
     kernels). "integer_fast" is the integer-model default (integer moment
     pipeline + f32-log statistic); "integer" is the bit-faithful exact
-    LUT statistic — gather-bound on TPU, the verification mode."""
+    LUT statistic — gather-bound on TPU, the verification mode.
+    bit_depth>8 times the native-grid fixed-point schedule (uint16
+    uploads, codes scaled to the pipeline's 8-bit scale on device)."""
     import jax
     import jax.numpy as jnp
 
@@ -65,10 +67,15 @@ def bench_config(name, model_name, n, h, w, iters=4, log=print, backend=None,
     model = get_model(model_name)
     params = model_feature_params(model, precision)
     predictor = ScorePredictor(model)
+    div = float(1 << (bit_depth - 8))
 
     @jax.jit
     def step(ref, dist):
-        feats = extract_features_batched(ref, dist, backend=backend, **params)
+        if bit_depth > 8:
+            ref = ref.astype(jnp.float32) * (1.0 / div)
+            dist = dist.astype(jnp.float32) * (1.0 / div)
+        feats = extract_features_batched(ref, dist, backend=backend,
+                                         bit_depth=bit_depth, **params)
         x = jnp.stack([feats[k] for k in model.feature_names], axis=-1)
         return predictor(x)
 
@@ -76,11 +83,19 @@ def bench_config(name, model_name, n, h, w, iters=4, log=print, backend=None,
     # any backend memoizing) without holding iters+1 batches in HBM — the
     # tunneled chip degrades under memory pressure. Uploads stay uint8
     # (4x less H2D than f32 — minutes saved per 4K config in degraded
-    # tunnel windows); the feature paths cast on device.
+    # tunnel windows; uint16 for >8-bit); the feature paths cast on device.
+    rng = np.random.default_rng(99)
     pairs = []
     for i in range(2):
         r = make_clip_u8(n, h, w, seed=2 * i)
         d = make_clip_u8(n, h, w, seed=2 * i + 1)
+        if bit_depth > 8:
+            # True native codes: 8-bit content lifted to the deep grid plus
+            # sub-8-bit noise (exercises the widened shifts for real).
+            lift = lambda a: (a.astype(np.uint16) * int(div)
+                              + rng.integers(0, int(div), a.shape)
+                              ).astype(np.uint16)
+            r, d = lift(r), lift(d)
         pairs.append(
             (
                 jax.device_put(jnp.asarray(r)),
@@ -96,8 +111,8 @@ def bench_config(name, model_name, n, h, w, iters=4, log=print, backend=None,
     for i in range(iters):
         a, b = pairs[i % 2]
         # Nudge the distorted input on device so each call has fresh args
-        # (uint8 add wraps mod 256 — content is irrelevant here).
-        b = b + jnp.uint8(i + 1)
+        # (integer add wraps — content is irrelevant here).
+        b = b + (jnp.uint16(i + 1) if bit_depth > 8 else jnp.uint8(i + 1))
         jax.block_until_ready(b)
         t0 = time.perf_counter()
         jax.block_until_ready(step(a, b))
@@ -235,6 +250,37 @@ def parity_check(log, n=4, h=544, w=960):
     return out
 
 
+def ssim_depth_check(log, n=4, h=544, w=960):
+    """10-bit SSIM on the live backend vs the float64 oracle.
+
+    ffmpeg scales c1/c2 with the native max above 8 bits; this pins the
+    device kernels' scaled-constant evaluation (ops/ssim.py:
+    scaled_ssim_constants) against golden/ssim on true 10-bit codes —
+    on TPU that exercises the Mosaic SSIM kernel with the depth-10
+    constants baked in."""
+    import jax
+    import jax.numpy as jnp
+
+    from pqa2_tpu.golden.ssim import ssim_plane
+    from pqa2_tpu.ops.ssim import ssim_sse_plane
+
+    rng = np.random.default_rng(17)
+    ref = (make_clip_u8(n, h, w, seed=7).astype(np.uint16) * 4
+           + rng.integers(0, 4, (n, h, w))).astype(np.uint16)
+    dist = np.clip(ref.astype(np.int32) + rng.integers(-16, 17, ref.shape),
+                   0, 1023).astype(np.uint16)
+    got = np.asarray(jax.block_until_ready(ssim_sse_plane(
+        jnp.asarray(ref, jnp.float32) / 4.0,
+        jnp.asarray(dist, jnp.float32) / 4.0, bit_depth=10)[0]))
+    want = np.array([ssim_plane(ref[i], dist[i], bit_depth=10)
+                     for i in range(n)])
+    delta = float(np.max(np.abs(got - want)))
+    out = {"max_delta_vs_oracle": round(delta, 8),
+           "ok": delta <= 1e-5, "shape": f"{n}x{h}x{w}"}
+    log(f"[bench] ssim 10-bit: {out}")
+    return out
+
+
 def measure_h2d_mbps(mb: int = 16) -> float:
     """Effective host->device bandwidth including a forced sync (a scalar
     reduce round-trip) — the number that bounds the end-to-end workflow on
@@ -350,7 +396,20 @@ def bench_full(log):
     except Exception as e:
         log(f"[bench] integer-exact 4k failed: {e}")
 
+    try:
+        # Native >8-bit grid (round-3): same integer pipeline, widened
+        # shifts — the cost of 10-bit over 8-bit should be ~zero.
+        results["uhd_integer_10bit_fps"] = bench_config(
+            "4k integer 10-bit native grid", "vmaf_4k_v0.6.1",
+            32, 2160, 3840, log=log, precision="integer_fast", bit_depth=10)
+    except Exception as e:
+        log(f"[bench] integer 10-bit 4k failed: {e}")
+
     results["parity"] = parity_check(log)
+    try:
+        results["ssim_10bit"] = ssim_depth_check(log)
+    except Exception as e:
+        log(f"[bench] ssim depth check failed: {e}")
 
     # Config 4: capture -> align -> score wall clock on a synthetic chain,
     # through the decode-once combined workflow (app/workflow.py — alignment
