@@ -95,6 +95,30 @@ def test_ssim_pallas_matches_jnp(rng):
                                    err_msg=f"{h}x{w}")
 
 
+def test_ssim_pallas_10bit_constants(rng):
+    """The fused kernel bakes ffmpeg's depth-scaled c1/c2 into the tile
+    program; at 10-bit it must match both the XLA path and the depth-10
+    oracle (the CPU suite's only exercise of the kernel's depth path —
+    off-TPU ssim_sse_plane routes to XLA)."""
+    from pqa2_tpu.golden.ssim import ssim_plane
+    from pqa2_tpu.ops.pallas_ssim import ssim_plane_pallas
+    from pqa2_tpu.ops.ssim import ssim_plane_batched
+
+    ref10 = rng.integers(0, 1024, (2, 64, 96)).astype(np.uint16)
+    dist10 = np.clip(ref10.astype(np.int32)
+                     + rng.integers(-40, 41, ref10.shape),
+                     0, 1023).astype(np.uint16)
+    r8 = ref10.astype(np.float32) / 4.0
+    d8 = dist10.astype(np.float32) / 4.0
+    got = np.asarray(ssim_plane_pallas(r8, d8, tile_b=4, interpret=True,
+                                       bit_depth=10))
+    want_xla = np.asarray(ssim_plane_batched(r8, d8, bit_depth=10))
+    np.testing.assert_allclose(got, want_xla, rtol=0, atol=1e-6)
+    want = np.array([ssim_plane(ref10[i], dist10[i], bit_depth=10)
+                     for i in range(2)])
+    np.testing.assert_allclose(got, want, rtol=0, atol=2e-6)
+
+
 def test_ssim_pallas_identity(rng):
     from pqa2_tpu.ops.pallas_ssim import ssim_plane_pallas
 
