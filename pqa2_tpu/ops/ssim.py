@@ -18,7 +18,7 @@ from typing import Dict
 import jax
 import jax.numpy as jnp
 
-from pqa2_tpu.golden.ssim import SSIM_C1, SSIM_C2, ssim_constants
+from pqa2_tpu.golden.ssim import ssim_constants
 
 
 def scaled_ssim_constants(bit_depth: int = 8):

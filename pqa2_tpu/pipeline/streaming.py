@@ -261,6 +261,13 @@ def stream_score(
             if with_psnr or with_ssim:
                 n0 = len(ref_frames)
                 lead = 1 if has_prev else 0
+                # Depth promotion for metrics: both streams on a common
+                # scale at the pair's max depth (ffmpeg upconverts to a
+                # shared pixel format first). Used by every branch below.
+                max_depth = max(meta.get("ref_depth", 8),
+                                meta.get("dist_depth", 8))
+                max_div = float(1 << (max_depth - 8))
+                peak = float((1 << max_depth) - 1)
 
                 def _pad_dev(x):
                     # Pad short tail chunks up to the static chunk shape on
@@ -294,14 +301,8 @@ def stream_score(
                 from pqa2_tpu.ops.psnr import psnr_from_mse_np
                 from pqa2_tpu.ops.ssim import ssim_db_np, ssim_sse_plane
 
-                max_depth = max(meta.get("ref_depth", 8),
-                                meta.get("dist_depth", 8))
-                peak = float((1 << max_depth) - 1)
-                # PSNR semantics for (possibly mixed) depths: both inputs on
-                # a common scale at the max depth (ffmpeg upconverts to a
-                # shared pixel format before its psnr filter). The 8-bit
-                # -scale SSE rescales exactly: diff_native = max_div * diff8.
-                max_div = float(1 << (max_depth - 8))
+                # The 8-bit-scale SSE rescales exactly to the common grid:
+                # diff_native = max_div * diff8.
                 part: Dict[str, np.ndarray] = {}
                 pstats: Dict[str, np.ndarray] = {}
                 tot = 0.0
@@ -335,10 +336,6 @@ def stream_score(
                 # scale with a rescaled peak gives identical dB.
                 from pqa2_tpu.ops.psnr import psnr_from_mse_np
 
-                max_depth = max(meta.get("ref_depth", 8),
-                                meta.get("dist_depth", 8))
-                max_div = float(1 << (max_depth - 8))
-                peak = float((1 << max_depth) - 1)
                 stats = psnr_planes_batched(r_y, r_u, r_v, d_y, d_u, d_v)
                 stats = {k: np.asarray(v) for k, v in stats.items()}
                 for p in ("y", "u", "v", "avg"):
@@ -349,8 +346,6 @@ def stream_score(
             elif with_ssim:
                 from pqa2_tpu.ops.ssim import ssim_db_np
 
-                max_depth = max(meta.get("ref_depth", 8),
-                                meta.get("dist_depth", 8))
                 part: Dict[str, np.ndarray] = {}
                 tot = 0.0
                 tot_w = 0

@@ -35,9 +35,11 @@ def test_10bit_matches_8bit_scores(tmp_path, rng):
 
     s8 = stream_score(p8r, p8d, with_ssim=True)
     s10 = stream_score(p10r, p10d, with_ssim=True)
-    # x<<2 / 4 is exactly x, so scores must agree to float tolerance.
+    # x<<2 / 4 is exactly x, so scores must agree to float tolerance —
+    # except SSIM's deliberate depth-10 constants (c1 416 -> 418.625 on the
+    # 8-bit scale), a deterministic ~1e-5 shift: band it like the 12-bit pin.
     np.testing.assert_allclose(s10.vmaf, s8.vmaf, atol=1e-3)
-    np.testing.assert_allclose(s10.ssim["ssim_y"], s8.ssim["ssim_y"], atol=1e-5)
+    np.testing.assert_allclose(s10.ssim["ssim_y"], s8.ssim["ssim_y"], atol=5e-5)
     # PSNR: same relative error at 4x amplitude and 4x peak -> same dB.
     np.testing.assert_allclose(s10.psnr["psnr_y"], s8.psnr["psnr_y"], atol=0.05)
 
