@@ -73,6 +73,44 @@ def test_submit_and_score(service, tmp_path, rng):
     assert service.stats()["jobs_done"] == 1
 
 
+def test_submit_10bit_pair(service, tmp_path, rng):
+    """>8-bit sources score through the daemon untouched: depths come off
+    the container, integer features run the native grid, PSNR reports the
+    native peak and SSIM ffmpeg's depth-scaled constants."""
+    n, h, w = 3, 48, 64
+    ys = rng.integers(64, 960, (n, h, w)).astype(np.uint16)
+    dist = np.clip(ys.astype(np.int32) + rng.integers(-20, 21, ys.shape),
+                   0, 1023).astype(np.uint16)
+
+    def frames(arr):
+        return [
+            {"y": y,
+             "u": np.full((h // 2, w // 2), 512, np.uint16),
+             "v": np.full((h // 2, w // 2), 512, np.uint16)}
+            for y in arr
+        ]
+
+    rp, dp = str(tmp_path / "ref10.y4m"), str(tmp_path / "dist10.y4m")
+    write_y4m(rp, frames(ys), colorspace="C420p10")
+    write_y4m(dp, frames(dist), colorspace="C420p10")
+    service.start()
+    job = _wait(service.submit({"reference": rp, "distorted": dp,
+                                "psnr": True, "ssim": True}))
+    assert job.status == "done", job.error
+    res = job.result
+    assert 0.0 <= res["vmaf_score"] <= 100.0
+    # Native 10-bit PSNR pools against the 1023 peak (a 255-peak pooling
+    # would sit ~12 dB lower). Recompute psnr_avg independently: per-frame
+    # all-plane MSE (chroma is identical -> zero SSE over h*w/2 pixels).
+    sse_y = ((ys.astype(np.float64) - dist.astype(np.float64)) ** 2
+             ).sum(axis=(1, 2))
+    mse_avg = sse_y / (h * w * 1.5)
+    want_psnr = float(np.mean(10 * np.log10(1023.0 ** 2 / mse_avg)))
+    assert res["psnr_score"] == pytest.approx(want_psnr, abs=0.05)
+    assert 0.0 < res["ssim_score"] <= 1.0
+    json.dumps(job.to_dict())
+
+
 def test_program_reuse_across_jobs(service, tmp_path, rng):
     """Same geometry twice: the second job reuses the worker's analyzer and
     in-process compiled programs (identical scores, no re-setup)."""
