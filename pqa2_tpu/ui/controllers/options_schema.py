@@ -8,7 +8,8 @@ setting to the UI is one line.
 
 Field kinds: "str", "int", "float", "bool", "choice" (fixed list),
 "slider" (int with range), "model" (VMAF model choice, resolved from the
-registry at render time).
+registry at render time), "dir" / "file" (str paths rendered with a
+Browse... picker, reference options_tab.py:1366-1431).
 """
 
 from __future__ import annotations
@@ -24,7 +25,7 @@ class Field:
     category: str
     key: str
     label: str
-    kind: str  # str | int | float | bool | choice | slider | model
+    kind: str  # str | int | float | bool | choice | slider | model | dir | file
     tab: str
     choices: Optional[Sequence] = None
     lo: Optional[float] = None
@@ -37,13 +38,13 @@ class Field:
 # default tree exactly — load/save fail a test if one drifts.
 FIELDS: List[Field] = [
     # -- General (paths + encoder, :79-193) --------------------------------
-    Field("paths", "default_output_dir", "Output directory", "str", "General"),
-    Field("paths", "results_dir", "Results directory", "str", "General"),
-    Field("paths", "temp_dir", "Temp directory", "str", "General"),
-    Field("paths", "reference_video_dir", "Reference video directory", "str",
+    Field("paths", "default_output_dir", "Output directory", "dir", "General"),
+    Field("paths", "results_dir", "Results directory", "dir", "General"),
+    Field("paths", "temp_dir", "Temp directory", "dir", "General"),
+    Field("paths", "reference_video_dir", "Reference video directory", "dir",
           "General"),
     Field("paths", "ffmpeg_path", "ffmpeg binary (capture/ingest fallback)",
-          "str", "General"),
+          "file", "General"),
     Field("encoder", "default_encoder", "Default encoder", "choice", "General",
           choices=["libx264", "libx265", "rawvideo"]),
     Field("encoder", "default_crf", "Default CRF", "int", "General",
@@ -123,7 +124,7 @@ FIELDS: List[Field] = [
     Field("tpu", "mesh_data", "Mesh data axis (0=auto)", "int", "TPU",
           lo=0, hi=4096),
     Field("tpu", "mesh_space", "Mesh space axis", "int", "TPU", lo=1, hi=64),
-    Field("tpu", "profile_dir", "Profiler trace dir", "str", "TPU"),
+    Field("tpu", "profile_dir", "Profiler trace dir", "dir", "TPU"),
 ]
 
 TABS = ("General", "Capture", "Analysis", "Advanced", "TPU")

@@ -95,8 +95,38 @@ class OptionsTab(QWidget):
                 combo.addItems([str(c) for c in field.choices or ()])
             return (combo, combo.currentText,
                     lambda v: combo.setCurrentText(str(v)), None)
+        if kind in ("dir", "file"):
+            return self._make_path_editor(field)
         edit = QLineEdit()
         return edit, edit.text, lambda v: edit.setText(str(v or "")), None
+
+    def _make_path_editor(self, field):
+        """dir/file kinds get a Browse... picker next to the line edit
+        (reference options_tab.py:104-168 buttons, :1366-1431 dialogs)."""
+        edit = QLineEdit()
+        browse = QPushButton("Browse...")
+
+        def run_browse(_=None):
+            from PyQt5.QtWidgets import QFileDialog
+
+            start = edit.text() or ""
+            if field.kind == "dir":
+                picked = QFileDialog.getExistingDirectory(
+                    self, f"Select {field.label}", start)
+            else:
+                picked, _filter = QFileDialog.getOpenFileName(
+                    self, f"Select {field.label}", start)
+            if picked:
+                edit.setText(picked)
+
+        browse.clicked.connect(run_browse)
+        if not hasattr(self, "_path_browse_buttons"):
+            self._path_browse_buttons = {}
+        self._path_browse_buttons[(field.category, field.key)] = browse
+        row = QHBoxLayout()
+        row.addWidget(edit)
+        row.addWidget(browse)
+        return edit, edit.text, lambda v: edit.setText(str(v or "")), row
 
     def _make_format_editor(self, field):
         """format_code gets the interactive per-device detection flow

@@ -87,6 +87,18 @@ def main():
     options.update_setting("branding", "app_name", "Glue Test App")
     options.flush()
 
+    # --- options Browse... picker (dir kind) ---------------------------
+    from PyQt5.QtWidgets import QFileDialog
+
+    otab = win.options_tab
+    QFileDialog._next_paths.append("/picked/output")
+    otab._path_browse_buttons[("paths", "default_output_dir")].clicked.emit()
+    _, out_get, _ = otab._editors[("paths", "default_output_dir")]
+    assert out_get() == "/picked/output", out_get()
+    otab.save_settings()
+    assert options.get_setting("paths", "default_output_dir") == \
+        "/picked/output"
+
     # --- capture-finished handoff ------------------------------------
     import numpy as np
 
