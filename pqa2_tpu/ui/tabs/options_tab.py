@@ -63,6 +63,8 @@ class OptionsTab(QWidget):
         kind = field.kind
         if (field.category, field.key) == ("capture", "format_code"):
             return self._make_format_editor(field)
+        if (field.category, field.key) == ("capture", "default_device"):
+            return self._make_device_editor(field)
         if kind == "bool":
             cb = QCheckBox(field.label)
             return cb, cb.isChecked, cb.setChecked, None
@@ -127,6 +129,35 @@ class OptionsTab(QWidget):
         row.addWidget(edit)
         row.addWidget(browse)
         return edit, edit.text, lambda v: edit.setText(str(v or "")), row
+
+    def _make_device_editor(self, field):
+        """default_device gets the Refresh Devices flow (reference
+        options_tab.py:200-211): editable combo + button that re-probes
+        the DeckLink device list (app/devices.py, Intensity Shuttle
+        fallback when probing finds nothing)."""
+        combo = QComboBox()
+        combo.setEditable(True)
+
+        def run_refresh(_=None):
+            from pqa2_tpu.app.devices import get_decklink_devices
+
+            current = combo.currentText()
+            combo.clear()
+            devices = get_decklink_devices()
+            combo.addItems(devices)
+            if current:
+                combo.setCurrentText(current)
+            self.parent.statusBar().showMessage(
+                f"{len(devices)} capture device(s) found")
+
+        refresh = QPushButton("Refresh devices")
+        refresh.clicked.connect(run_refresh)
+        self._device_refresh_btn = refresh
+        row = QHBoxLayout()
+        row.addWidget(combo)
+        row.addWidget(refresh)
+        return (combo, combo.currentText,
+                lambda v: combo.setCurrentText(str(v or "")), row)
 
     def _make_format_editor(self, field):
         """format_code gets the interactive per-device detection flow

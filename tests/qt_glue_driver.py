@@ -99,6 +99,12 @@ def main():
     assert options.get_setting("paths", "default_output_dir") == \
         "/picked/output"
 
+    # --- options Refresh devices flow ---------------------------------
+    otab._device_refresh_btn.clicked.emit()
+    dev_field, dev_get, _dev_set = otab._editors[("capture",
+                                                  "default_device")]
+    assert dev_get(), "device combo should hold a device after refresh"
+
     # --- capture-finished handoff ------------------------------------
     import numpy as np
 
