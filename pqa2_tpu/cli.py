@@ -224,6 +224,10 @@ def main(argv: Optional[List[str]] = None) -> int:
     raise_stack_limit()  # deep XLA:CPU compiles overflow the 8 MB default
     parser = argparse.ArgumentParser(prog="pqa2_tpu", description=__doc__)
     parser.add_argument("-v", "--verbose", action="store_true")
+    parser.add_argument(
+        "--models-dir", default=None,
+        help="directory of user libvmaf model JSONs (also: PQA2_MODELS_DIR "
+             "env var, or the paths.models_dir setting in the GUI)")
     sub = parser.add_subparsers(dest="cmd", required=True)
 
     p = sub.add_parser("score", help="score a ref/dist pair")
@@ -283,6 +287,10 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.set_defaults(fn=cmd_models)
 
     args = parser.parse_args(argv)
+    if args.models_dir:
+        from pqa2_tpu.models.registry import set_user_models_dir
+
+        set_user_models_dir(args.models_dir)
     logging.basicConfig(
         level=logging.DEBUG if args.verbose else logging.WARNING,
         format="%(asctime)s %(name)s %(levelname)s %(message)s",

@@ -34,6 +34,12 @@ def main() -> int:
     from pqa2_tpu.app.utils import FileManager, validate_application_state
 
     options_manager = OptionsManager()
+    # Point the model registry at the configured user models directory
+    # (reference: "VMAF models directory" path setting + models/ dir scan,
+    # app/ui/tabs/analysis_tab.py:1005-1077).
+    from pqa2_tpu.models.registry import set_user_models_dir
+
+    set_user_models_dir(options_manager.get_setting("paths", "models_dir"))
     file_manager = FileManager()
     capture_manager = CaptureManager(options_manager=options_manager)
 

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import functools
 import os
-from typing import List
+from typing import List, Optional
 
 from pqa2_tpu.models.loader import load_model, load_model_npz
 
@@ -19,11 +19,34 @@ _DATA_DIR = os.path.join(os.path.dirname(__file__), "data")
 
 DEFAULT_MODEL = "vmaf_v0.6.1"
 
+# Process-wide user model directory (the reference's "VMAF models directory"
+# setting, app/ui/tabs/options_tab.py paths category). Set from
+# settings by the app/CLI via set_user_models_dir(); PQA2_MODELS_DIR is the
+# env-var override for headless use.
+_USER_MODELS_DIR: Optional[str] = None
+
+
+def set_user_models_dir(path: Optional[str]) -> None:
+    """Point the registry at a directory of user-supplied libvmaf model
+    JSONs; '' / None clears it. Applied wherever callers don't pass an
+    explicit extra_dir."""
+    global _USER_MODELS_DIR
+    _USER_MODELS_DIR = path or None
+
+
+def get_user_models_dir() -> Optional[str]:
+    return _USER_MODELS_DIR or os.environ.get("PQA2_MODELS_DIR") or None
+
+
+def _resolve_extra(extra_dir: Optional[str]) -> Optional[str]:
+    return extra_dir if extra_dir is not None else get_user_models_dir()
+
 
 def available_models(extra_dir: Optional[str] = None) -> List[str]:
     """Names of all packaged models (without extension), plus any user
     model JSONs found in `extra_dir` (the reference's models/-directory
     scan, app/ui/tabs/analysis_tab.py:1005-1077)."""
+    extra_dir = _resolve_extra(extra_dir)
     names = set()
     if os.path.isdir(_DATA_DIR):
         names.update(
@@ -38,11 +61,16 @@ def available_models(extra_dir: Optional[str] = None) -> List[str]:
     return sorted(names)
 
 
-@functools.lru_cache(maxsize=None)
 def get_model(name: str = DEFAULT_MODEL, extra_dir: Optional[str] = None):
     """Load a model by registry name, or by path to a libvmaf .json/.npz file.
 
-    extra_dir: user model directory searched after the packaged registry."""
+    extra_dir: user model directory searched after the packaged registry;
+    defaults to the configured user models dir (set_user_models_dir)."""
+    return _get_model_cached(name, _resolve_extra(extra_dir))
+
+
+@functools.lru_cache(maxsize=None)
+def _get_model_cached(name: str, extra_dir: Optional[str]):
     if os.path.sep in name or name.endswith((".json", ".npz")):
         if name.endswith(".npz"):
             return load_model_npz(name)

@@ -117,6 +117,14 @@ class MainWindow(QMainWindow):
             self.capture_tab.populate_devices_and_check_status()
         except Exception:
             logger.exception("device status refresh failed")
+        try:
+            from pqa2_tpu.models.registry import set_user_models_dir
+
+            set_user_models_dir(
+                self.options_manager.get_setting("paths", "models_dir"))
+            self.analysis_tab._populate_vmaf_models()
+        except Exception:
+            logger.exception("model list refresh failed")
         tm = getattr(self, "theme_manager", None)
         if tm is not None:
             tm.apply_current_theme()

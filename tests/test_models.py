@@ -105,3 +105,27 @@ def test_user_model_directory(tmp_path):
     model = get_model("my_custom", extra_dir=user_dir)
     assert model.n_sv == 211
     assert model.feature_names[0] == "adm2"
+
+
+def test_user_models_dir_setting(tmp_path):
+    """set_user_models_dir applies process-wide where no extra_dir is passed
+    (the GUI's paths.models_dir setting / CLI --models-dir)."""
+    import shutil
+
+    from pqa2_tpu.models import registry
+
+    user_dir = tmp_path / "user_models"
+    user_dir.mkdir()
+    shutil.copy("/root/reference/models/vmaf_v0.6.1.json",
+                str(user_dir / "site_model.json"))
+
+    registry.set_user_models_dir(str(user_dir))
+    try:
+        assert "site_model" in registry.available_models()
+        model = registry.get_model("site_model")
+        assert model.n_sv == 211
+        # Explicit extra_dir still wins over the global.
+        assert "site_model" not in registry.available_models(extra_dir="")
+    finally:
+        registry.set_user_models_dir(None)
+    assert "site_model" not in registry.available_models()
