@@ -51,7 +51,7 @@ def bench_config(name, model_name, n, h, w, iters=4, log=print, backend=None,
     precision="float" is the f32 throughput configuration (fused Pallas
     kernels). "integer_fast" is the integer-model default (integer moment
     pipeline + f32-log statistic); "integer" is the bit-faithful exact
-    LUT statistic — gather-bound on TPU, the verification mode.
+    LUT statistic (gather-free breakpoint fetch), the verification mode.
     bit_depth>8 times the native-grid fixed-point schedule (uint16
     uploads, codes scaled to the pipeline's 8-bit scale on device)."""
     import jax
@@ -388,8 +388,8 @@ def bench_full(log):
     except Exception as e:
         log(f"[bench] integer-path 4k failed: {e}")
     try:
-        # The exact LUT statistic is gather-bound on TPU (verification
-        # mode, not the throughput default) — measured for transparency.
+        # The exact LUT statistic (verification mode, not the throughput
+        # default) — measured for transparency.
         results["uhd_integer_exact_fps"] = bench_config(
             "4k integer exact (LUT statistic)", "vmaf_4k_v0.6.1",
             16, 2160, 3840, log=log, precision="integer")

@@ -135,55 +135,41 @@ def _fused_exact_slots(s1, s2, s12, gain_limit, valid, tile_w, planes):
     i32 = jnp.int32
     f32 = jnp.float32
     tw = tile_w
-    w3 = 3 * tw
     rows = s1.shape[0]
     lbv = lb & valid
     nbv = nb & valid
     zero = i32(0)
+    nlan = rows * tw
 
-    # Real Mosaic cannot lane-concat row slices taken at different
-    # sublane offsets ("result/input offset mismatch on non-concat
-    # dimension"), so rows are brought to sublane 0 by a one-hot ROW
-    # matmul over one full-height lane-concat (every concat input below
-    # is offset-{0,0}).  All packed values are <= 256, hence exact in
-    # bf16 — one DEFAULT-precision MXU pass per row extracts the split
-    # mantissas AND the signed branch mask (+1 den/log, +1 num m1,
-    # -1 num m2) together; the mask multiplies the fetched t values so
-    # masked lanes contribute exactly 0.
-    def hi8(x):  # u32 mantissa high byte (m < 2^16): <= 255
-        return (x >> 8).astype(i32).astype(f32)
+    # Mosaic lowers jnp.reshape (rows, tw) -> (1, rows*tw) value-exactly
+    # (lane dim a 128-multiple; verified per-value on silicon), so the
+    # three mantissa planes and their signed branch masks (+1 den/log,
+    # +1 num m1, -1 num m2) flatten to lane vectors for free — no
+    # row-extract matmuls.  Mantissas < 2^16 are exact in f32; the mask
+    # multiplies the fetched t values so masked lanes contribute exactly
+    # 0 (log2 of a masked lane's garbage mantissa is clipped/NaN but
+    # never reaches the sum).
+    def flat(x):  # (rows, twp) -> (1, nlan) f32, halo columns dropped
+        x = x[:, :tw]
+        if x.dtype == jnp.bool_:
+            x = x.astype(f32)
+        elif x.dtype != jnp.float32:
+            x = x.astype(i32).astype(f32)
+        return jnp.reshape(x, (1, nlan))
 
-    def lo8(x):
-        return (x & jnp.uint32(255)).astype(i32).astype(f32)
+    mf_all = jnp.concatenate([flat(m_den), flat(m1), flat(m2)], axis=1)
+    sg_all = jnp.concatenate([flat(lbv), flat(nbv), -flat(nbv)], axis=1)
 
-    big = jnp.concatenate(
-        [hi8(m_den[:, :tw]), hi8(m1[:, :tw]), hi8(m2[:, :tw]),
-         lo8(m_den[:, :tw]), lo8(m1[:, :tw]), lo8(m2[:, :tw]),
-         lbv[:, :tw].astype(f32), nbv[:, :tw].astype(f32),
-         -nbv[:, :tw].astype(f32)], axis=1
-    )  # (rows, 9*tw), all entries in [-1, 255]
-    rows_iota = jax.lax.broadcasted_iota(i32, (1, rows), 1)
-
-    def extract(r_i):  # row r_i -> (1, 9*tw) at sublane 0, exact
-        onehot = (rows_iota == r_i).astype(f32)
-        return jax.lax.dot_general(
-            onehot, big, (((1,), (0,)), ((), ())),
-            preferred_element_type=f32,
-        )
-
-    # C rows per one-hot LUT matmul: C-fold fewer, larger MXU ops and a
-    # C-fold smaller unrolled trace than row-at-a-time.
-    chunk = 4 if rows % 4 == 0 else 1
-    wc = chunk * w3
-    den_sel = (jax.lax.broadcasted_iota(i32, (1, wc), 1) % w3) < tw
+    # Chunked LUT fetch: bounds the one-hot (128, CH) operand so the
+    # bf16 MXU pass and its f32 selects stay VMEM-friendly at any tile.
+    total = 3 * nlan
+    CH = 8192
     num_tab_s = zero
     den_tab_s = zero
-    for c0 in range(0, rows, chunk):
-        exs = [extract(c0 + k_i) for k_i in range(chunk)]
-        mf = jnp.concatenate(
-            [e[:, :w3] * 256.0 + e[:, w3:2 * w3] for e in exs], axis=1
-        )  # (1, wc)
-        sg = jnp.concatenate([e[:, 2 * w3:] for e in exs], axis=1)
+    for c0 in range(0, total, CH):
+        mf = mf_all[:, c0:c0 + CH]
+        sg = sg_all[:, c0:c0 + CH]
+        wc = mf.shape[1]  # final chunk may be short
         # One-fetch floor form (see _bp_planes): f in {u-1, u} exactly.
         idxf = jnp.clip(
             jnp.floor(jnp.log2(mf) * 2048.0 - 30720.0), 0.0, 2047.0
@@ -205,8 +191,15 @@ def _fused_exact_slots(s1, s2, s12, gain_limit, valid, tile_w, planes):
         u = idxf + (mf >= bcur).astype(f32)
         tv = (u + 30720.0).astype(i32)  # t[m], exact
         prod = tv * sg.astype(i32)  # signed, masked contributions
-        den_tab_s = den_tab_s + jnp.sum(jnp.where(den_sel, prod, zero))
-        num_tab_s = num_tab_s + jnp.sum(jnp.where(den_sel, zero, prod))
+        if c0 + wc <= nlan:
+            den_tab_s = den_tab_s + jnp.sum(prod)
+        elif c0 >= nlan:
+            num_tab_s = num_tab_s + jnp.sum(prod)
+        else:  # chunk straddles the den (m_den) / num (m1, m2) boundary
+            lane = jax.lax.broadcasted_iota(i32, (1, wc), 1) + c0
+            isden = lane < nlan
+            den_tab_s = den_tab_s + jnp.sum(jnp.where(isden, prod, zero))
+            num_tab_s = num_tab_s + jnp.sum(jnp.where(isden, zero, prod))
 
     num_k_s = jnp.sum(jnp.where(nbv, num_k, zero))
     den_k_s = jnp.sum(jnp.where(lbv, k_den, zero))

@@ -28,7 +28,19 @@ def _pair(rng, n, h, w, spread=40):
     return jnp.asarray(ref), jnp.asarray(dist)
 
 
-@pytest.mark.parametrize("shape", [(2, 64, 128), (3, 72, 96), (2, 57, 100)])
+@pytest.mark.parametrize(
+    "shape",
+    [
+        (2, 64, 128),  # tw=256: LUT chunk straddles the den/num boundary
+        (3, 72, 96),   # scale-3 tw=128: single short straddling chunk
+        (2, 57, 100),
+        # tw=512 -> nlan = 16*512 = 8192 in interpret mode: the pure-den
+        # chunk ends EXACTLY at the den/num boundary (c0 + wc == nlan) and
+        # the later chunks are pure num — the two non-straddle branches of
+        # _fused_exact_slots' chunked LUT fetch, unreachable at tw<=256.
+        (1, 24, 300),
+    ],
+)
 def test_vif_matches_xla_twin(rng, shape):
     """Default = exact fused statistic: BIT-identical to the XLA twin
     (integer accumulators + the gather-free breakpoint LUT scheme leave
