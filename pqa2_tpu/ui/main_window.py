@@ -38,15 +38,14 @@ class MainWindow(QMainWindow):
         self._apply_branding_logo()
 
     def _apply_branding_logo(self):
-        """Window icon from branding.logo_path (reference
-        main_window.py:196-228 loads the logo set; settings-driven here —
-        a missing/invalid path is silently cosmetic)."""
-        if self.options_manager is None:
-            return
-        import os
+        """Window icon from branding.logo_path, falling back to the
+        bundled default asset (reference main_window.py:196-228 loads its
+        hardcoded logo set; settings-driven here — a missing/invalid path
+        is silently cosmetic)."""
+        from pqa2_tpu.ui.branding import resolve_logo_path
 
-        path = self.options_manager.get_setting("branding", "logo_path") or ""
-        if not path or not os.path.isfile(path):
+        path = resolve_logo_path(self.options_manager)
+        if not path:
             return
         try:
             from PyQt5.QtGui import QIcon

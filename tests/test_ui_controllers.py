@@ -426,3 +426,25 @@ def test_format_detection_flow(tmp_path):
     # Unknown device: probe fails without ffmpeg -> fallback, never raises.
     rows2, _ = fc.detect_formats("DeckLink Mini Recorder")
     assert rows2
+
+
+def test_branding_logo_resolution(tmp_path):
+    """Window-icon source (reference main_window.py:196-228, hardcoded
+    there; settings-driven here): a configured readable path wins, a
+    missing one falls back to the bundled asset, which must ship."""
+    from pqa2_tpu.app.options_manager import OptionsManager
+    from pqa2_tpu.ui import branding
+
+    assert os.path.isfile(branding.DEFAULT_LOGO)
+    assert branding.resolve_logo_path(None) == branding.DEFAULT_LOGO
+
+    om = OptionsManager(settings_file=str(tmp_path / "s.json"))
+    assert branding.resolve_logo_path(om) == branding.DEFAULT_LOGO
+
+    custom = tmp_path / "corp.png"
+    custom.write_bytes(b"\x89PNG\r\n\x1a\n")
+    om.update_setting("branding", "logo_path", str(custom))
+    assert branding.resolve_logo_path(om) == str(custom)
+
+    om.update_setting("branding", "logo_path", str(tmp_path / "gone.png"))
+    assert branding.resolve_logo_path(om) == branding.DEFAULT_LOGO
