@@ -288,33 +288,67 @@ def _make_int_kernel(taps: np.ndarray, tile_h: int, tile_w: int,
         n = pl.program_id(0)
         t = pl.program_id(1)
         j = pl.program_id(2)
+        nn = pl.num_programs(0)
+        nt = pl.num_programs(1)
+        nj = pl.num_programs(2)
+        streams = 3 if with_motion else 2
 
-        ref_tile = vmem.at[0, pl.ds(0, rows8), :]
-        dist_tile = vmem.at[1, pl.ds(0, rows8), :]
-        cp1 = pltpu.make_async_copy(
-            ref_hbm.at[n, pl.ds(t * tile_h, rows8), pl.ds(j * tile_w, twp)],
-            ref_tile, sem.at[0],
-        )
-        cp2 = pltpu.make_async_copy(
-            dist_hbm.at[n, pl.ds(t * tile_h, rows8), pl.ds(j * tile_w, twp)],
-            dist_tile, sem.at[1],
-        )
-        cp1.start()
-        cp2.start()
-        if with_motion:
-            prev_tile = vmem.at[2, pl.ds(0, rows8), :]
-            cp3 = pltpu.make_async_copy(
-                ref_hbm.at[jnp.maximum(n - 1, 0), pl.ds(t * tile_h, rows8),
-                           pl.ds(j * tile_w, twp)],
-                prev_tile, sem.at[2],
-            )
-            cp3.start()
-            cp3.wait()
-        cp1.wait()
-        cp2.wait()
+        # Double-buffered input pipeline: each grid step waits on the tiles
+        # the PREVIOUS step prefetched into its slot and immediately starts
+        # the NEXT step's DMAs into the other slot, so HBM reads overlap
+        # compute instead of serialising at the top of every step.
+        def start_copies(slot, ni, ti, ji):
+            srcs = [
+                ref_hbm.at[ni, pl.ds(ti * tile_h, rows8),
+                           pl.ds(ji * tile_w, twp)],
+                dist_hbm.at[ni, pl.ds(ti * tile_h, rows8),
+                            pl.ds(ji * tile_w, twp)],
+            ]
+            if with_motion:
+                srcs.append(
+                    ref_hbm.at[jnp.maximum(ni - 1, 0),
+                               pl.ds(ti * tile_h, rows8),
+                               pl.ds(ji * tile_w, twp)]
+                )
+            for k_s, src in enumerate(srcs):
+                pltpu.make_async_copy(
+                    src, vmem.at[slot, k_s, pl.ds(0, rows8), :],
+                    sem.at[slot, k_s],
+                ).start()
 
-        r = vmem[0, :rows, :]
-        d = vmem[1, :rows, :]
+        def wait_copies(slot):
+            for k_s in range(streams):
+                # The descriptor only sizes the semaphore wait; any
+                # shape-matched src works.
+                pltpu.make_async_copy(
+                    ref_hbm.at[0, pl.ds(0, rows8), pl.ds(0, twp)],
+                    vmem.at[slot, k_s, pl.ds(0, rows8), :],
+                    sem.at[slot, k_s],
+                ).wait()
+
+        step = (n * nt + t) * nj + j
+        slot = jax.lax.rem(step, 2)
+
+        @pl.when(step == 0)
+        def _():
+            start_copies(0, n, t, j)
+
+        j1 = j + 1
+        cj = j1 == nj
+        j1 = jnp.where(cj, 0, j1)
+        t1 = jnp.where(cj, t + 1, t)
+        ct = t1 == nt
+        t1 = jnp.where(ct, 0, t1)
+        n1 = jnp.where(ct, n + 1, n)
+
+        @pl.when(n1 < nn)
+        def _():
+            start_copies(1 - slot, n1, t1, j1)
+
+        wait_copies(slot)
+
+        r = vmem[slot, 0, :rows, :]
+        d = vmem[slot, 1, :rows, :]
 
         # -- exact uint32 separable convs (ops/vif_int.py Q-schedule) -----
         def col_direct(x, taps_l, shift, off=0):
@@ -462,7 +496,7 @@ def _make_int_kernel(taps: np.ndarray, tile_h: int, tile_w: int,
                 return row_direct(tmp, taps_m, 16, off=off_m)
 
             ba = blur_m(r)
-            bb = blur_m(vmem[2, :rows, :])
+            bb = blur_m(vmem[slot, 2, :rows, :])
             diff = jnp.where(ba >= bb, ba - bb, bb - ba)
             diff = jnp.where(valid, diff, u32(0))
             # u32 -> i32 -> f32 (Mosaic lacks the direct u32 cast; both
@@ -646,9 +680,9 @@ def vif_int_scale_pallas(
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((3 if with_motion else 2, _round_up(rows, 8),
+            pltpu.VMEM((2, 3 if with_motion else 2, _round_up(rows, 8),
                         tile_w + 128), jnp.uint32),
-            pltpu.SemaphoreType.DMA((3 if with_motion else 2,)),
+            pltpu.SemaphoreType.DMA((2, 3 if with_motion else 2)),
         ],
         interpret=interpret,
     )(*inputs)
