@@ -107,16 +107,27 @@ def bench_config(name, model_name, n, h, w, iters=4, log=print, backend=None,
     scores = jax.block_until_ready(step(*pairs[0]))
     compile_s = time.perf_counter() - t0
 
+    # Each timed region runs K back-to-back steps on pre-nudged inputs
+    # and divides by K: the device queue overlaps the host->tunnel
+    # dispatch of step i+1 with the execution of step i, so the region
+    # measures steady-state throughput (production streams chunks back to
+    # back) instead of paying one dispatch round trip per step. Inputs
+    # still differ per step (fresh nudge counter) to defeat memoizing.
     times = []
+    K = 3
+    it = 0
     for i in range(iters):
-        a, b = pairs[i % 2]
-        # Nudge the distorted input on device so each call has fresh args
-        # (integer add wraps — content is irrelevant here).
-        b = b + (jnp.uint16(i + 1) if bit_depth > 8 else jnp.uint8(i + 1))
-        jax.block_until_ready(b)
+        nudged = []
+        for _ in range(K):
+            a, b = pairs[it % 2]
+            b = b + (jnp.uint16(it + 1) if bit_depth > 8 else jnp.uint8(it + 1))
+            nudged.append((a, b))
+            it += 1
+        jax.block_until_ready(nudged)
         t0 = time.perf_counter()
-        jax.block_until_ready(step(a, b))
-        times.append(time.perf_counter() - t0)
+        outs = [step(a, b) for a, b in nudged]
+        jax.block_until_ready(outs)
+        times.append((time.perf_counter() - t0) / K)
     best = min(times)
     fps = n / best
     log(
@@ -171,13 +182,21 @@ def bench_config_with_metrics(name, model_name, n, h, w, iters=4, log=print):
     t0 = time.perf_counter()
     out = jax.block_until_ready(step(*args))
     compile_s = time.perf_counter() - t0
+    # K back-to-back steps per region (see bench_config: amortises the
+    # per-call dispatch round trip; steady-state throughput).
     times = []
+    K = 3
+    it = 0
     for i in range(iters):
-        dy = d[0] + jnp.float32(0.25 * (i + 1))
-        jax.block_until_ready(dy)
+        dys = []
+        for _ in range(K):
+            it += 1
+            dys.append(d[0] + jnp.float32(0.25 * it))
+        jax.block_until_ready(dys)
         t0 = time.perf_counter()
-        jax.block_until_ready(step(args[0], dy, *args[2:]))
-        times.append(time.perf_counter() - t0)
+        outs = [step(args[0], dy, *args[2:]) for dy in dys]
+        jax.block_until_ready(outs)
+        times.append((time.perf_counter() - t0) / K)
     fps = n / min(times)
     log(f"[bench] {name}: {fps:.2f} fps (vmaf+psnr+ssim, {n}x{h}x{w}, "
         f"best {min(times)*1e3:.1f} ms, compile {compile_s:.1f}s)")

@@ -360,12 +360,20 @@ def _make_int_kernel(taps: np.ndarray, tile_h: int, tile_w: int,
                 acc = (acc + u32(1 << (shift - 1))) >> shift
             return acc
 
-        def row_direct(x, taps_l, shift, off=0):
+        # The horizontal (lane-direction) filters run TRANSPOSED: Mosaic's
+        # 2-D transpose costs ~2 elementwise passes while pltpu.roll costs
+        # ~10, so transposing each vertically-filtered plane once and
+        # sliding along SUBLANES (plain slices, like the vertical stage)
+        # replaces the 9-roll lane filter. Per output pixel the ops and
+        # their order are identical, so every value stays bit-exact; the
+        # transposed outputs are (tile_w, tile_h) with no junk columns
+        # (slices yield exactly tile_w outputs — sublane = frame column).
+        def rowT_direct(x, taps_l, shift, off=0):
+            xT = x.T  # (twp, tile_h)
             acc = None
             for i, c in enumerate(taps_l):
                 s_ = off + i
-                xs = x if s_ == 0 else pltpu.roll(x, twp - s_, axis=1)
-                term = u32(c) * xs
+                term = u32(c) * xT[s_ : s_ + tile_w, :]
                 acc = term if acc is None else acc + term
             if shift:
                 acc = (acc + u32(1 << (shift - 1))) >> shift
@@ -382,30 +390,31 @@ def _make_int_kernel(taps: np.ndarray, tile_h: int, tile_w: int,
                 lo = tlo if lo is None else lo + tlo
             return hi + ((lo + u32(1 << (shift - 1))) >> shift)
 
-        def row_split(x, taps_l, shift=16):
+        def rowT_split(x, taps_l, shift=16):
+            xT = x.T  # (twp, tile_h)
             mask = u32((1 << shift) - 1)
             hi = lo = None
             for i, c in enumerate(taps_l):
-                xs = x if i == 0 else pltpu.roll(x, twp - i, axis=1)
-                thi = u32(c) * (xs >> shift)
-                tlo = u32(c) * (xs & mask)
+                s = xT[i : i + tile_w, :]
+                thi = u32(c) * (s >> shift)
+                tlo = u32(c) * (s & mask)
                 hi = thi if hi is None else hi + thi
                 lo = tlo if lo is None else lo + tlo
             return hi + ((lo + u32(1 << (shift - 1))) >> shift)
 
         v_mu_shift = 8 + in_q
-        mu1 = row_direct(col_direct(r, taps_u, v_mu_shift), taps_u, 0)
-        mu2 = row_direct(col_direct(d, taps_u, v_mu_shift), taps_u, 0)
+        mu1 = rowT_direct(col_direct(r, taps_u, v_mu_shift), taps_u, 0)
+        mu2 = rowT_direct(col_direct(d, taps_u, v_mu_shift), taps_u, 0)
 
         def prod_plane(a, b):
             p = a * b  # exact in u32: operands < 2^16
             if in_q == 0:
-                return row_direct(col_direct(p, taps_u, 16), taps_u, 0)
+                return rowT_direct(col_direct(p, taps_u, 16), taps_u, 0)
             # ops/vif_int.py:_sigma_planes schedule: vertical >> 16,
             # horizontal >> 2*in_q back to Q16 pixel^2 (both coincide at
             # 16 for the Q8 decimated scales; 10/12-bit native scale 0
             # uses in_q = 2/4).
-            return row_split(col_split(p, taps_u, 16), taps_u, 2 * in_q)
+            return rowT_split(col_split(p, taps_u, 16), taps_u, 2 * in_q)
 
         xx = prod_plane(r, r)
         yy = prod_plane(d, d)
@@ -425,40 +434,54 @@ def _make_int_kernel(taps: np.ndarray, tile_h: int, tile_w: int,
             off = half - half_n
             taps_n = [int(c) for c in next_taps]
 
-            blur = row_direct(
+            blur = rowT_direct(
                 col_direct(r, taps_n, 8 + in_q, off=off), taps_n, 16, off=off
             )
-            blur_d = row_direct(
+            blur_d = rowT_direct(
                 col_direct(d, taps_n, 8 + in_q, off=off), taps_n, 16, off=off
             )
 
             th2, tw2 = tile_h // 2, tile_w // 2
-            sel_r = jax.lax.broadcasted_iota(jnp.int32, (twp, tw2), 0)
-            sel_c = jax.lax.broadcasted_iota(jnp.int32, (twp, tw2), 1)
-            colsel = (sel_r == 2 * sel_c).astype(jnp.float32)
-            row_r = jax.lax.broadcasted_iota(jnp.int32, (th2, tile_h), 0)
-            row_c = jax.lax.broadcasted_iota(jnp.int32, (th2, tile_h), 1)
-            rowsel = (row_c == 2 * row_r).astype(jnp.float32)
+            sub_r = jax.lax.broadcasted_iota(jnp.int32, (tw2, tile_w), 0)
+            sub_c = jax.lax.broadcasted_iota(jnp.int32, (tw2, tile_w), 1)
+            subsel = (sub_c == 2 * sub_r).astype(jnp.float32)
+            lane_r = jax.lax.broadcasted_iota(jnp.int32, (tile_h, th2), 0)
+            lane_c = jax.lax.broadcasted_iota(jnp.int32, (tile_h, th2), 1)
+            lanesel = (lane_r == 2 * lane_c).astype(jnp.float32)
 
-            def decimate_u32(x):
-                # Mosaic has no u32<->f32 convert; Q8 values < 2^16 are
-                # identical through i32, which converts fine both ways.
-                xf = x.astype(jnp.int32).astype(jnp.float32)
-                xf = jax.lax.dot(rowsel, xf,
-                                 precision=jax.lax.Precision.HIGHEST)
-                xf = jax.lax.dot(xf, colsel,
-                                 precision=jax.lax.Precision.HIGHEST)
-                return xf.astype(jnp.int32).astype(jnp.uint32)
+            subsel_b = subsel.astype(jnp.bfloat16)
+            lanesel_b = lanesel.astype(jnp.bfloat16)
+
+            def _dec_dots(xb):
+                y = jax.lax.dot(subsel_b, xb,
+                                preferred_element_type=jnp.float32)
+                return jax.lax.dot(y.astype(jnp.bfloat16), lanesel_b,
+                                   preferred_element_type=jnp.float32)
+
+            def decimate_u32(xT):
+                # Byte-split DEFAULT-precision MXU picks (exact: the
+                # one-hot side is 0/1, each byte operand <= 255 is
+                # bf16-exact, f32 accumulation of single picks is exact;
+                # ~3x cheaper than HIGHEST f32 dots, equality pinned on
+                # silicon). xT is the TRANSPOSED blur (sublane = frame
+                # column): the even-column pick contracts sublanes, then
+                # the small (tw2, th2) transpose restores standard layout.
+                hi = (xT >> 8).astype(jnp.int32).astype(jnp.float32)
+                lo = (xT & u32(255)).astype(jnp.int32).astype(jnp.float32)
+                dh = _dec_dots(hi.astype(jnp.bfloat16))
+                dl = _dec_dots(lo.astype(jnp.bfloat16))
+                out = (dh.astype(jnp.int32) << 8) + dl.astype(jnp.int32)
+                return out.T.astype(jnp.uint32)
 
             ref_next[0] = decimate_u32(blur)
             dist_next[0] = decimate_u32(blur_d)
 
-        col_id = jax.lax.broadcasted_iota(jnp.int32, s1.shape, 1)
-        row_id = jax.lax.broadcasted_iota(jnp.int32, s1.shape, 0)
+        # Transposed mask: sublane = frame column, lane = frame row.
+        sub_id = jax.lax.broadcasted_iota(jnp.int32, s1.shape, 0)
+        lane_id = jax.lax.broadcasted_iota(jnp.int32, s1.shape, 1)
         valid = (
-            (col_id < tile_w)
-            & (col_id + j * tile_w < w)
-            & (row_id + t * tile_h < h)
+            (sub_id + j * tile_w < w)
+            & (lane_id + t * tile_h < h)
         )
         exact_slots = []
         if emit_sigma:
@@ -466,13 +489,19 @@ def _make_int_kernel(taps: np.ndarray, tile_h: int, tile_w: int,
             # HBM; the LUT statistic (ops/vif_int.py:_statistic) consumes
             # them in XLA with the table gather. num/den are not computed
             # here. (Fallback path — exact_fused replaces it.)
-            s1_out[0] = s1[:, :tile_w]
-            s2_out[0] = s2[:, :tile_w]
-            s12_out[0] = s12[:, :tile_w]
+            s1_out[0] = s1.T
+            s2_out[0] = s2.T
+            s12_out[0] = s12.T
             num_s = den_s = jnp.float32(0.0)
         elif exact_fused:
+            # The flat-accumulator statistic needs 128-multiple lane dims
+            # for its value-exact reshape; restore standard layout (three
+            # small transposes, exact data movement).
+            colv = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1)
+            rowv = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0)
+            valid_std = (colv + j * tile_w < w) & (rowv + t * tile_h < h)
             exact_slots = _fused_exact_slots(
-                s1, s2, s12, gain_limit, valid, tile_w,
+                s1.T, s2.T, s12.T, gain_limit, valid_std, tile_w,
                 bp_ref[...],
             )
             num_s = den_s = jnp.float32(0.0)
@@ -493,7 +522,7 @@ def _make_int_kernel(taps: np.ndarray, tile_h: int, tile_w: int,
 
             def blur_m(x):
                 tmp = col_direct(x, taps_m, 8 + in_q, off=off_m)
-                return row_direct(tmp, taps_m, 16, off=off_m)
+                return rowT_direct(tmp, taps_m, 16, off=off_m)
 
             ba = blur_m(r)
             bb = blur_m(vmem[slot, 2, :rows, :])
@@ -752,7 +781,17 @@ def vif_features_int_pallas(
     # Interpret mode (CPU tests): small tiles — the kernel's unrolled
     # row loop makes trace/compile time scale with tile_h, and there is
     # no VMEM-efficiency reason to use big tiles off-chip.
-    tile_h = 16 if interpret else DEFAULT_TILE_H
+    # On silicon the fast path runs 128-row tiles (halves per-tile fixed
+    # costs; measured -10% on scale 0). The exact statistic stays at 64:
+    # its per-tile i32 LUT accumulator bounds |sum| by nlan * 2^15 and
+    # 128x512 tiles would double nlan to 2^16 lanes -> 2^31 overflow
+    # (_fused_exact_slots' den_tab_s).
+    if interpret:
+        tile_h = 16
+    elif exact:
+        tile_h = DEFAULT_TILE_H
+    else:
+        tile_h = 2 * DEFAULT_TILE_H
 
     for scale in range(4):
         hybrid = exact and (
