@@ -113,58 +113,104 @@ def _make_kernel(taps: np.ndarray, tile_h: int, tile_w: int, h: int, w: int,
         n = pl.program_id(0)
         t = pl.program_id(1)
         j = pl.program_id(2)
+        nn = pl.num_programs(0)
+        nt = pl.num_programs(1)
+        nj = pl.num_programs(2)
+        streams = 3 if motion_taps is not None else 2
 
-        ref_tile = vmem.at[0, pl.ds(0, rows8), :]
-        dist_tile = vmem.at[1, pl.ds(0, rows8), :]
-        cp1 = pltpu.make_async_copy(
-            ref_hbm.at[n, pl.ds(t * tile_h, rows8), pl.ds(j * tile_w, twp)],
-            ref_tile, sem.at[0],
-        )
-        cp2 = pltpu.make_async_copy(
-            dist_hbm.at[n, pl.ds(t * tile_h, rows8), pl.ds(j * tile_w, twp)],
-            dist_tile, sem.at[1],
-        )
-        cp1.start()
-        cp2.start()
-        if motion_taps is not None:
-            # The previous reference frame's tile — motion SAD comes free
-            # with the resident read (frame 0 pairs with itself -> SAD 0).
-            prev_tile = vmem.at[2, pl.ds(0, rows8), :]
-            cp3 = pltpu.make_async_copy(
-                ref_hbm.at[jnp.maximum(n - 1, 0), pl.ds(t * tile_h, rows8),
-                           pl.ds(j * tile_w, twp)],
-                prev_tile, sem.at[2],
-            )
-            cp3.start()
-            cp3.wait()
-        cp1.wait()
-        cp2.wait()
+        # Double-buffered input pipeline (ops/pallas_vif_int.py): each grid
+        # step waits on the tiles the PREVIOUS step prefetched into its slot
+        # and immediately starts the NEXT step's DMAs into the other slot,
+        # so HBM reads overlap compute instead of serialising at the top of
+        # every step.
+        def start_copies(slot, ni, ti, ji):
+            srcs = [
+                ref_hbm.at[ni, pl.ds(ti * tile_h, rows8),
+                           pl.ds(ji * tile_w, twp)],
+                dist_hbm.at[ni, pl.ds(ti * tile_h, rows8),
+                            pl.ds(ji * tile_w, twp)],
+            ]
+            if motion_taps is not None:
+                # The previous reference frame's tile — motion SAD comes
+                # free with the resident read (frame 0 pairs with itself
+                # -> SAD 0).
+                srcs.append(
+                    ref_hbm.at[jnp.maximum(ni - 1, 0),
+                               pl.ds(ti * tile_h, rows8),
+                               pl.ds(ji * tile_w, twp)]
+                )
+            for k_s, src in enumerate(srcs):
+                pltpu.make_async_copy(
+                    src, vmem.at[slot, k_s, pl.ds(0, rows8), :],
+                    sem.at[slot, k_s],
+                ).start()
 
-        r = vmem[0, :rows, :]
-        d = vmem[1, :rows, :]
+        def wait_copies(slot):
+            for k_s in range(streams):
+                # The descriptor only sizes the semaphore wait; any
+                # shape-matched src works.
+                pltpu.make_async_copy(
+                    ref_hbm.at[0, pl.ds(0, rows8), pl.ds(0, twp)],
+                    vmem.at[slot, k_s, pl.ds(0, rows8), :],
+                    sem.at[slot, k_s],
+                ).wait()
 
-        def col_filter(x):  # (rows, twp) -> (tile_h, twp)
+        step = (n * nt + t) * nj + j
+        slot = jax.lax.rem(step, 2)
+
+        @pl.when(step == 0)
+        def _():
+            start_copies(0, n, t, j)
+
+        j1 = j + 1
+        cj = j1 == nj
+        j1 = jnp.where(cj, 0, j1)
+        t1 = jnp.where(cj, t + 1, t)
+        ct = t1 == nt
+        t1 = jnp.where(ct, 0, t1)
+        n1 = jnp.where(ct, n + 1, n)
+
+        @pl.when(n1 < nn)
+        def _():
+            start_copies(1 - slot, n1, t1, j1)
+
+        wait_copies(slot)
+
+        r = vmem[slot, 0, :rows, :]
+        d = vmem[slot, 1, :rows, :]
+
+        def col_filter(x, taps_l, off=0):  # (rows, twp) -> (tile_h, twp)
             acc = None
-            for i, c in enumerate(taps_f):
-                term = c * x[i : i + tile_h, :]
+            for i, c in enumerate(taps_l):
+                term = c * x[off + i : off + i + tile_h, :]
                 acc = term if acc is None else acc + term
             return acc
 
-        def row_filter(x):  # (tile_h, twp) -> (tile_h, twp); cols >= tile_w junk
-            # Lane-dim slices at arbitrary offsets don't lower in Mosaic;
-            # shift with rolls instead and mask the junk tail columns out of
-            # the statistic sums below.
+        # The horizontal (lane-direction) filters run TRANSPOSED: Mosaic's
+        # 2-D transpose costs ~2 elementwise passes while pltpu.roll costs
+        # ~10, so transposing each vertically-filtered plane once and
+        # sliding along SUBLANES (plain slices, like the vertical stage)
+        # replaces the 9-roll lane filter. Values are identical (same taps,
+        # same order); the transposed outputs are (tile_w, tile_h) with no
+        # junk columns (slices yield exactly tile_w outputs — sublane =
+        # frame column).
+        def rowT_filter(x, taps_l, off=0):  # (tile_h, twp) -> (tile_w, tile_h)
+            xT = x.T  # (twp, tile_h)
             acc = None
-            for i, c in enumerate(taps_f):
-                term = c * (x if i == 0 else pltpu.roll(x, twp - i, axis=1))
+            for i, c in enumerate(taps_l):
+                s_ = off + i
+                term = c * xT[s_ : s_ + tile_w, :]
                 acc = term if acc is None else acc + term
             return acc
 
-        mu1 = row_filter(col_filter(r))
-        mu2 = row_filter(col_filter(d))
-        xx = row_filter(col_filter(r * r))
-        yy = row_filter(col_filter(d * d))
-        xy = row_filter(col_filter(r * d))
+        def sep(x):
+            return rowT_filter(col_filter(x, taps_f), taps_f)
+
+        mu1 = sep(r)
+        mu2 = sep(d)
+        xx = sep(r * r)
+        yy = sep(d * d)
+        xy = sep(r * d)
 
         if next_taps is not None:
             # Emit the next scale's inputs: blur the resident tile with the
@@ -176,49 +222,57 @@ def _make_kernel(taps: np.ndarray, tile_h: int, tile_w: int, h: int, w: int,
             off = half - half_n
             taps_n = [float(c) for c in next_taps]
 
-            def col_filter_n(x):  # (rows, twp) -> (tile_h, twp)
-                acc = None
-                for i, c in enumerate(taps_n):
-                    term = c * x[off + i : off + i + tile_h, :]
-                    acc = term if acc is None else acc + term
-                return acc
-
-            def row_filter_n(x):  # shift left by off+i via rolls
-                acc = None
-                for i, c in enumerate(taps_n):
-                    s = off + i
-                    term = c * (x if s == 0 else pltpu.roll(x, twp - s, axis=1))
-                    acc = term if acc is None else acc + term
-                return acc
-
             th2, tw2 = tile_h // 2, tile_w // 2
-            # Lane 2x decimation as an MXU dot with a one-hot selection
-            # matrix (built from iota, no extra DMA). HIGHEST precision keeps
-            # the f32 pass-through exact (0/1 entries, exact bf16 splits).
-            sel_r = jax.lax.broadcasted_iota(jnp.int32, (twp, tw2), 0)
-            sel_c = jax.lax.broadcasted_iota(jnp.int32, (twp, tw2), 1)
-            colsel = (sel_r == 2 * sel_c).astype(jnp.float32)
-            row_r = jax.lax.broadcasted_iota(jnp.int32, (th2, tile_h), 0)
-            row_c = jax.lax.broadcasted_iota(jnp.int32, (th2, tile_h), 1)
-            rowsel = (row_c == 2 * row_r).astype(jnp.float32)
+            # Lane 2x decimation as MXU dots with one-hot selection matrices
+            # (built from iota, no extra DMA). The data operand is split
+            # into three bf16 planes (8+8+8 mantissa bits = exact f32
+            # reconstruction); each dot picks with 0/1 entries, so the
+            # decimated values pass through exactly at half the passes of
+            # a HIGHEST f32 dot. The input is the TRANSPOSED blur (sublane
+            # = frame column): the even-column pick contracts sublanes,
+            # then the small (tw2, th2) transpose restores standard layout.
+            sub_r = jax.lax.broadcasted_iota(jnp.int32, (tw2, tile_w), 0)
+            sub_c = jax.lax.broadcasted_iota(jnp.int32, (tw2, tile_w), 1)
+            subsel_b = (sub_c == 2 * sub_r).astype(jnp.bfloat16)
+            lane_r = jax.lax.broadcasted_iota(jnp.int32, (tile_h, th2), 0)
+            lane_c = jax.lax.broadcasted_iota(jnp.int32, (tile_h, th2), 1)
+            lanesel_b = (lane_r == 2 * lane_c).astype(jnp.bfloat16)
 
-            def decimate(x):  # (tile_h, twp) -> (th2, tw2)
-                x = jax.lax.dot(rowsel, x,
-                                precision=jax.lax.Precision.HIGHEST)
-                return jax.lax.dot(x, colsel,
-                                   precision=jax.lax.Precision.HIGHEST)
+            def _split3_dot(a_onehot, x, rhs_onehot=None):
+                # exact f32 = hi + mid + lo with bf16 pieces; one-hot picks
+                # accumulate in f32, so the sum reconstructs x exactly.
+                hi = x.astype(jnp.bfloat16)
+                rem = x - hi.astype(jnp.float32)
+                mid = rem.astype(jnp.bfloat16)
+                lo = (rem - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+                out = None
+                for piece in (hi, mid, lo):
+                    if rhs_onehot is None:
+                        y = jax.lax.dot(a_onehot, piece,
+                                        preferred_element_type=jnp.float32)
+                    else:
+                        y = jax.lax.dot(piece, rhs_onehot,
+                                        preferred_element_type=jnp.float32)
+                    out = y if out is None else out + y
+                return out
 
-            ref_next[0] = decimate(row_filter_n(col_filter_n(r)))
-            dist_next[0] = decimate(row_filter_n(col_filter_n(d)))
+            def decimate(xT):  # transposed (tile_w, tile_h) -> (th2, tw2)
+                y = _split3_dot(subsel_b, xT)          # (tw2, tile_h)
+                z = _split3_dot(None, y, lanesel_b)    # (tw2, th2)
+                return z.T
+
+            ref_next[0] = decimate(
+                rowT_filter(col_filter(r, taps_n, off=off), taps_n, off=off))
+            dist_next[0] = decimate(
+                rowT_filter(col_filter(d, taps_n, off=off), taps_n, off=off))
 
         num, den = _statistic(mu1, mu2, xx, yy, xy, gain_limit, variant)
-        # Mask the halo/junk tail columns and ragged row/column tails.
-        col_id = jax.lax.broadcasted_iota(jnp.int32, num.shape, 1)
-        row_id = jax.lax.broadcasted_iota(jnp.int32, num.shape, 0)
+        # Transposed mask: sublane = frame column, lane = frame row.
+        sub_id = jax.lax.broadcasted_iota(jnp.int32, num.shape, 0)
+        lane_id = jax.lax.broadcasted_iota(jnp.int32, num.shape, 1)
         valid = (
-            (col_id < tile_w)
-            & (col_id + j * tile_w < w)
-            & (row_id + t * tile_h < h)
+            (sub_id + j * tile_w < w)
+            & (lane_id + t * tile_h < h)
         )
         num_s = jnp.sum(jnp.where(valid, num, 0.0))
         den_s = jnp.sum(jnp.where(valid, den, 0.0))
@@ -234,19 +288,10 @@ def _make_kernel(taps: np.ndarray, tile_h: int, tile_w: int, h: int, w: int,
             taps_m = [float(c) for c in motion_taps]
 
             def blur_m(x):
-                acc = None
-                for i, c in enumerate(taps_m):
-                    term = c * x[off_m + i : off_m + i + tile_h, :]
-                    acc = term if acc is None else acc + term
-                out = None
-                for i, c in enumerate(taps_m):
-                    s = off_m + i
-                    term = c * (acc if s == 0
-                                else pltpu.roll(acc, twp - s, axis=1))
-                    out = term if out is None else out + term
-                return out
+                return rowT_filter(col_filter(x, taps_m, off=off_m),
+                                   taps_m, off=off_m)
 
-            mdiff = jnp.abs(blur_m(r) - blur_m(vmem[2, :rows, :]))
+            mdiff = jnp.abs(blur_m(r) - blur_m(vmem[slot, 2, :rows, :]))
             sad_s = jnp.sum(jnp.where(valid, mdiff, 0.0))
 
         row_id = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
@@ -366,9 +411,9 @@ def vif_scale_pallas(
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((3 if with_motion else 2, _round_up(rows, 8),
+            pltpu.VMEM((2, 3 if with_motion else 2, _round_up(rows, 8),
                         tile_w + 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((3 if with_motion else 2,)),
+            pltpu.SemaphoreType.DMA((2, 3 if with_motion else 2)),
         ],
         interpret=interpret,
     )(ref_p, dist_p)
@@ -431,9 +476,15 @@ def vif_features_pallas(
     dist = dist.astype(jnp.float32)
     feats = []
     sad = None
+    # Interpret mode (CPU tests): small tiles — the kernel's unrolled row
+    # loop makes trace/compile time scale with tile_h. On silicon 128-row
+    # tiles halve per-tile fixed costs (same win as the integer cascade,
+    # ops/pallas_vif_int.py).
+    tile_h = 16 if interpret else 2 * DEFAULT_TILE_H
     for scale in range(4):
         out = vif_scale_pallas(
             ref, dist, scale, gain_limit=gain_limit, variant=variant,
+            tile_h=tile_h,
             interpret=interpret, emit_next=scale < 3,
             with_motion=with_motion and scale == 0,
         )

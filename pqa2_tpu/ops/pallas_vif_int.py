@@ -49,11 +49,19 @@ TILE_W = 512
 _MASK16 = np.uint32(0xFFFF)
 
 
-# Per-frame tile-count bound for the fused exact statistic: beyond it the
-# flat accumulator's reassembled hi word can pass 2^24 and the final f32
-# cast in _recombine_exact would round (see its docstring).  512 tiles
-# covers DCI 4K (4096x2160 = 272 tiles at 64x512) with ~2x margin.
-_EXACT_FUSED_MAX_TILES = 512
+def _exact_fused_max_tiles(tile_h: int, tile_w: int) -> int:
+    """Per-frame tile-count bound for the fused exact statistic: beyond it
+    the flat accumulator's reassembled hi word can pass 2^24 and the final
+    f32 cast in _recombine_exact would round (see its docstring).
+
+    Strict worst case per tile: the flat-branch split_sum total is
+    <= nlan*65535, so its top 12-bit piece is <= that >> 24; the hi word
+    reassembled from T tiles is bounded by T*(p2max*256 + 256) (the p1
+    piece contributes <= 4095*T/16 < 256*T).  64x512 tiles -> 511,
+    128x512 -> 255 — both cover DCI 4K (136 tiles at 128x512)."""
+    nlan = tile_h * tile_w
+    per_tile_hi = ((nlan * 65535) >> 24) * 256 + 256
+    return (1 << 24) // per_tile_hi - 1
 
 
 def _exact_fused_in_bounds(h: int, w: int, tile_h: int,
@@ -66,7 +74,7 @@ def _exact_fused_in_bounds(h: int, w: int, tile_h: int,
     wmult = 256 if emit_next else 128
     tw = min(TILE_W, _round_up(w, wmult))
     tiles = (-(-h // th)) * (-(-w // tw))
-    return tiles <= _EXACT_FUSED_MAX_TILES and h * w < (1 << 24)
+    return tiles <= _exact_fused_max_tiles(th, tw) and h * w < (1 << 24)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -77,7 +85,7 @@ _BP_PLANES = None
 
 
 def _bp_planes() -> jnp.ndarray:
-    """(32, 128) bf16 pack of the log2-LUT breakpoints for the in-kernel
+    """(128, 128) bf16 pack of the log2-LUT breakpoints for the in-kernel
     one-hot MXU fetch (golden/log2lut.py:breakpoints_ext).
 
     The kernel uses the ONE-FETCH floor form: the unrounded f32 candidate
@@ -86,15 +94,24 @@ def _bp_planes() -> jnp.ndarray:
 
         u = f + [m >= B(f + 1)]
 
-    needs a single breakpoint.  For f = 16*h + l the two planes b hold
-    bf16-exact integers (<= 255) at [16*b + l, h]:
+    needs a single breakpoint.  The fetch is PACKED TWO PER STREAMED
+    COLUMN: the MXU streams one rhs column per output lane regardless of
+    how much of the 128x128 array the operands cover, so the round-3
+    (32, 128) plane pack left 3/4 of every pass idle.  Decomposing
+    f = 32*q + r (q < 64, r < 32) and block-diagonalising two copies of
+    the (64, 64) byte pack
 
-      b=0: B[f+1] >> 8      b=1: B[f+1] & 255
+        P1[32*b + r, q] = byte_b(B(32*q + r + 1))   b in {0: hi, 1: lo}
 
-    so A = planes @ onehot(h) followed by a 16-row select on l yields
-    B(f+1), and the statistic's quantised log2 is recovered exactly from
-    one integer comparison (pinned exhaustively in tests/test_log2lut.py
-    and on-silicon by bench parity).
+    lets ONE (128, 128) @ (128, wc) pass fetch breakpoints for TWO index
+    streams (K rows 0:64 carry stream a's one-hot(q), rows 64:128 stream
+    b's; output rows 0:64 hold stream a's bytes, 64:128 stream b's).
+    The statistic needs three fetches per log pixel (m_den, m1, m2):
+    m1/m2 pair naturally and the den plane pairs with its own second
+    half, so the fetch streams 1.5 MXU columns per pixel instead of 3.
+    All entries are bf16-exact integers (<= 255); B(f+1) is recovered
+    exactly and u from one integer comparison (pinned exhaustively in
+    tests/test_log2lut.py and on-silicon by bench parity).
     """
     global _BP_PLANES
     if _BP_PLANES is None:
@@ -102,13 +119,13 @@ def _bp_planes() -> jnp.ndarray:
 
         ext = breakpoints_ext().astype(np.int64)
         cur = ext[np.arange(2048) + 1]
-        planes = np.stack([cur >> 8, cur & 255], 0)
-        # (2, 2048) -> [16*b + l, h]
-        pack = np.zeros((32, 128), dtype=np.float32)
-        for b in range(2):
-            pack[16 * b:16 * (b + 1), :] = (
-                planes[b].reshape(128, 16).T
-            )
+        p1 = np.zeros((64, 64), dtype=np.float32)
+        for b, plane in enumerate((cur >> 8, cur & 255)):
+            # [32*b + r, q] = plane[32*q + r]
+            p1[32 * b:32 * (b + 1), :] = plane.reshape(64, 32).T
+        pack = np.zeros((128, 128), dtype=np.float32)
+        pack[0:64, 0:64] = p1
+        pack[64:128, 64:128] = p1
         _BP_PLANES = pack  # cache host-side: callers may be inside a jit
     return jnp.asarray(_BP_PLANES, dtype=jnp.bfloat16)
 
@@ -120,10 +137,11 @@ def _fused_exact_slots(s1, s2, s12, gain_limit, valid, tile_w, planes):
     the tile, evaluates the three Q11 log lookups per log-branch pixel
     via the gather-free breakpoint scheme (f32 log2 candidate, +-1-safe,
     corrected by integer comparisons against the exact breakpoints
-    fetched with a one-hot bf16 matmul — MXU work, which the statistic
-    phase otherwise leaves idle), and reduces everything to per-tile
-    integer partial sums split into 12-bit pieces so the f32 accumulator
-    block stays exact across <= 4096 tiles.  vif_int_scale_pallas
+    fetched TWO-PER-COLUMN with a block-diagonal one-hot bf16 matmul —
+    MXU work, which the statistic phase otherwise leaves idle; see
+    _bp_planes), and reduces everything to per-tile integer partial sums
+    split into 12-bit pieces so the f32 accumulator block stays exact
+    across the _exact_fused_max_tiles bound.  vif_int_scale_pallas
     recombines the pieces into _statistic's exact (hi, lo) pairs — the
     final f32 num/den are bit-identical to the XLA twin.
 
@@ -143,12 +161,11 @@ def _fused_exact_slots(s1, s2, s12, gain_limit, valid, tile_w, planes):
 
     # Mosaic lowers jnp.reshape (rows, tw) -> (1, rows*tw) value-exactly
     # (lane dim a 128-multiple; verified per-value on silicon), so the
-    # three mantissa planes and their signed branch masks (+1 den/log,
-    # +1 num m1, -1 num m2) flatten to lane vectors for free — no
-    # row-extract matmuls.  Mantissas < 2^16 are exact in f32; the mask
-    # multiplies the fetched t values so masked lanes contribute exactly
-    # 0 (log2 of a masked lane's garbage mantissa is clipped/NaN but
-    # never reaches the sum).
+    # three mantissa planes and their branch masks flatten to lane
+    # vectors for free — no row-extract matmuls.  Mantissas < 2^16 are
+    # exact in f32; the masks multiply the fetched t values so masked
+    # lanes contribute exactly 0 (log2 of a masked lane's garbage
+    # mantissa is clipped/NaN but never reaches the sum).
     def flat(x):  # (rows, twp) -> (1, nlan) f32, halo columns dropped
         x = x[:, :tw]
         if x.dtype == jnp.bool_:
@@ -157,49 +174,64 @@ def _fused_exact_slots(s1, s2, s12, gain_limit, valid, tile_w, planes):
             x = x.astype(i32).astype(f32)
         return jnp.reshape(x, (1, nlan))
 
-    mf_all = jnp.concatenate([flat(m_den), flat(m1), flat(m2)], axis=1)
-    sg_all = jnp.concatenate([flat(lbv), flat(nbv), -flat(nbv)], axis=1)
-
-    # Chunked LUT fetch: bounds the one-hot (128, CH) operand so the
-    # bf16 MXU pass and its f32 selects stay VMEM-friendly at any tile.
-    total = 3 * nlan
-    CH = 8192
-    num_tab_s = zero
-    den_tab_s = zero
-    for c0 in range(0, total, CH):
-        mf = mf_all[:, c0:c0 + CH]
-        sg = sg_all[:, c0:c0 + CH]
-        wc = mf.shape[1]  # final chunk may be short
+    def fetch2(mfa, mfb):
+        """Paired lookups: exact t values (i32) for two mantissa streams
+        from ONE streamed MXU pass (the _bp_planes block-diag pack)."""
+        wc = mfa.shape[1]
+        mf = jnp.concatenate([mfa, mfb], axis=0)  # (2, wc)
         # One-fetch floor form (see _bp_planes): f in {u-1, u} exactly.
         idxf = jnp.clip(
             jnp.floor(jnp.log2(mf) * 2048.0 - 30720.0), 0.0, 2047.0
         )
         jdx = idxf.astype(i32)
-        ht = (
-            jax.lax.broadcasted_iota(i32, (128, wc), 0) == (jdx >> 4)
-        ).astype(jnp.bfloat16)
+        q = jdx >> 5
+        r = jdx & 31
+        qi = jax.lax.broadcasted_iota(i32, (64, wc), 0)
+        rhs = jnp.concatenate(
+            [(qi == q[0:1]).astype(jnp.bfloat16),
+             (qi == q[1:2]).astype(jnp.bfloat16)], axis=0)  # (128, wc)
         at = jax.lax.dot_general(
-            planes, ht, (((1,), (0,)), ((), ())),
+            planes, rhs, (((1,), (0,)), ((), ())),
             preferred_element_type=f32,
-        )  # (32, wc): rows 16b+l hold plane_b at l = jdx & 15
-        lt = (
-            jax.lax.broadcasted_iota(i32, (16, wc), 0) == (jdx & 15)
-        ).astype(f32)
-        v0 = jnp.sum(at[0:16] * lt, axis=0, keepdims=True)
-        v1 = jnp.sum(at[16:32] * lt, axis=0, keepdims=True)
-        bcur = v0 * 256.0 + v1  # B(f + 1), exact
-        u = idxf + (mf >= bcur).astype(f32)
-        tv = (u + 30720.0).astype(i32)  # t[m], exact
-        prod = tv * sg.astype(i32)  # signed, masked contributions
-        if c0 + wc <= nlan:
-            den_tab_s = den_tab_s + jnp.sum(prod)
-        elif c0 >= nlan:
-            num_tab_s = num_tab_s + jnp.sum(prod)
-        else:  # chunk straddles the den (m_den) / num (m1, m2) boundary
-            lane = jax.lax.broadcasted_iota(i32, (1, wc), 1) + c0
-            isden = lane < nlan
-            den_tab_s = den_tab_s + jnp.sum(jnp.where(isden, prod, zero))
-            num_tab_s = num_tab_s + jnp.sum(jnp.where(isden, zero, prod))
+        )  # (128, wc): rows 32b+r / 64+32b+r hold the two byte planes
+        ri = jax.lax.broadcasted_iota(i32, (32, wc), 0)
+        tvs = []
+        for s_, base in ((0, 0), (1, 64)):
+            rsel = (ri == r[s_:s_ + 1]).astype(f32)
+            v0 = jnp.sum(at[base:base + 32] * rsel, axis=0, keepdims=True)
+            v1 = jnp.sum(at[base + 32:base + 64] * rsel, axis=0,
+                         keepdims=True)
+            bcur = v0 * 256.0 + v1  # B(f + 1), exact
+            u = idxf[s_:s_ + 1] + (mf[s_:s_ + 1] >= bcur).astype(f32)
+            tvs.append((u + 30720.0).astype(i32))  # t[m], exact
+        return tvs
+
+    # Chunked fetches bound the (128, CH) operands so the bf16 MXU pass
+    # and its f32 selects stay VMEM-friendly at any tile size.
+    CH = 8192
+    # Numerator: t[m1] - t[m2] per num-branch pixel — the two streams
+    # pair into one fetch.  |t1 - t2| <= 2047, so the i32 total stays
+    # under 2^27 even at 128x512 tiles.
+    m1f, m2f = flat(m1), flat(m2)
+    nbi = flat(nbv).astype(i32)
+    num_tab_s = zero
+    for c0 in range(0, nlan, CH):
+        tva, tvb = fetch2(m1f[:, c0:c0 + CH], m2f[:, c0:c0 + CH])
+        num_tab_s = num_tab_s + jnp.sum((tva - tvb) * nbi[:, c0:c0 + CH])
+    # Denominator: one stream, paired with its own second half.  t values
+    # are <= 32767, so the total over <= 65536 lanes is <= 32767*65536 =
+    # 2147418112 < 2^31 - 1: exact in i32 with zero headroom for larger
+    # tiles (vif_features_int_pallas caps exact tiles at 128x512).
+    hl = nlan // 2
+    mdf = flat(m_den)
+    lbi = flat(lbv).astype(i32)
+    den_tab_s = zero
+    for c0 in range(0, hl, CH):
+        c1 = min(c0 + CH, hl)
+        tva, tvb = fetch2(mdf[:, c0:c1], mdf[:, hl + c0:hl + c1])
+        den_tab_s = (den_tab_s
+                     + jnp.sum(tva * lbi[:, c0:c1])
+                     + jnp.sum(tvb * lbi[:, hl + c0:hl + c1]))
 
     num_k_s = jnp.sum(jnp.where(nbv, num_k, zero))
     den_k_s = jnp.sum(jnp.where(lbv, k_den, zero))
@@ -567,8 +599,9 @@ def _recombine_exact(a: jnp.ndarray, h: int, w: int):
     exact integer into two f32-exact addends, so the single f32 rounding
     of ``hi*65536 + lo`` matches the twin — PROVIDED every cast stays
     exact.  That holds when |hi| < 2^24, i.e. per-frame tile count
-    <= _EXACT_FUSED_MAX_TILES and frame pixels < 2^24 (the flat
-    accumulator's hi word grows ~2^15 per 64x512 flat tile).  The caller
+    <= _exact_fused_max_tiles(...) and frame pixels < 2^24 (the flat
+    accumulator's hi word grows <= ~2^15 per 64x512 flat tile, <= ~2^16
+    per 128x512 tile).  The caller
     (vif_features_int_pallas) enforces the bound by falling back to the
     emit_sigma hybrid — equally exact — for larger geometries."""
     i32 = jnp.int32
@@ -697,7 +730,7 @@ def vif_int_scale_pallas(
     inputs = [ref_p, dist_p]
     if exact_fused:
         in_specs.append(
-            pl.BlockSpec((32, 128), lambda i, j, k2: (0, 0),
+            pl.BlockSpec((128, 128), lambda i, j, k2: (0, 0),
                          memory_space=pltpu.VMEM)
         )
         inputs.append(_bp_planes())
@@ -781,15 +814,14 @@ def vif_features_int_pallas(
     # Interpret mode (CPU tests): small tiles — the kernel's unrolled
     # row loop makes trace/compile time scale with tile_h, and there is
     # no VMEM-efficiency reason to use big tiles off-chip.
-    # On silicon the fast path runs 128-row tiles (halves per-tile fixed
-    # costs; measured -10% on scale 0). The exact statistic stays at 64:
-    # its per-tile i32 LUT accumulator bounds |sum| by nlan * 2^15 and
-    # 128x512 tiles would double nlan to 2^16 lanes -> 2^31 overflow
-    # (_fused_exact_slots' den_tab_s).
+    # On silicon BOTH modes run 128-row tiles (halves per-tile fixed
+    # costs; measured -10% on scale 0). 128x512 is the exact statistic's
+    # ceiling: its den LUT accumulator reaches 32767 * nlan = 2^31 - 2^16
+    # — inside i32 exactly at nlan = 2^16 lanes, beyond it over
+    # (_fused_exact_slots; _exact_fused_max_tiles re-derives the
+    # cross-tile piece bound for the larger tiles).
     if interpret:
         tile_h = 16
-    elif exact:
-        tile_h = DEFAULT_TILE_H
     else:
         tile_h = 2 * DEFAULT_TILE_H
 

@@ -148,15 +148,21 @@ def test_extract_features_integer_pallas_backend(rng):
 
 def test_exact_fused_bound_geometry():
     """The fused exact statistic only runs inside its proven-exact
-    envelope (<= _EXACT_FUSED_MAX_TILES tiles/frame, < 2^24 px); larger
-    frames fall back to the equally-exact emit_sigma hybrid."""
+    envelope (<= _exact_fused_max_tiles(...) tiles/frame, < 2^24 px);
+    larger frames fall back to the equally-exact emit_sigma hybrid."""
     from pqa2_tpu.ops.pallas_vif_int import (
         DEFAULT_TILE_H,
         _exact_fused_in_bounds,
+        _exact_fused_max_tiles,
     )
 
-    for h, w in ((1080, 1920), (2160, 3840), (2160, 4096)):
-        assert _exact_fused_in_bounds(h, w, DEFAULT_TILE_H, True)
-        assert _exact_fused_in_bounds(h, w, DEFAULT_TILE_H, False)
-    # 4096x4096: 512 tiles AND 2^24 pixels — crosses the envelope.
-    assert not _exact_fused_in_bounds(4096, 4096, DEFAULT_TILE_H, True)
+    # Strict worst-case cross-tile piece bounds (see _recombine_exact).
+    assert _exact_fused_max_tiles(64, 512) == 511
+    assert _exact_fused_max_tiles(128, 512) == 255
+    for th in (DEFAULT_TILE_H, 2 * DEFAULT_TILE_H):  # 64 and the on-chip 128
+        for h, w in ((1080, 1920), (2160, 3840), (2160, 4096)):
+            assert _exact_fused_in_bounds(h, w, th, True)
+            assert _exact_fused_in_bounds(h, w, th, False)
+        # 4096x4096: over the tile cap AND 2^24 pixels — crosses the
+        # envelope at either tile height.
+        assert not _exact_fused_in_bounds(4096, 4096, th, True)
