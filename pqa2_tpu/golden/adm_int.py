@@ -76,16 +76,24 @@ def dwt_pyramid_int(
 ) -> List[Dict[str, np.ndarray]]:
     """Luma -> 4 levels of integer bands on the ADM_BAND_Q schedule.
 
-    >8-bit codes carry their extra bits as fixed-point fraction: the
-    initial shift narrows to ADM_BAND_Q[0] - (depth-8) so level 0 still
-    enters at Q4 on the 8-bit pixel scale (12-bit = shift 0 is the
-    headroom bound; deeper sources are pre-rounded by the caller)."""
-    in_q = max(min(bit_depth, 12) - 8, 0)
-    assert in_q <= ADM_BAND_Q[0], bit_depth
-    cur = x.astype(_I64) << _I64(ADM_BAND_Q[0] - in_q)  # to Q4 pixels
+    >8-bit codes carry their extra bits as fixed-point fraction: up to
+    12-bit the initial shift narrows to ADM_BAND_Q[0] - (depth-8) so
+    level 0 enters at Q4 on the 8-bit pixel scale. Depths 13..16 (round
+    4) enter UNSHIFTED at Q(depth-8) and level 0's first 1-D pass folds
+    the surplus into its rounding shift (extra = in_q - 4) — one exact
+    rounding using every input bit, after which the bands are on the
+    standard Q4 schedule. Device twins reproduce this bit-for-bit
+    (ops/adm_int.py, ops/pallas_adm_int.py; at depth 16 their level-0
+    first pass splits the i32 accumulator — value-identical)."""
+    in_q = max(bit_depth - 8, 0)
+    assert in_q <= 8, bit_depth
+    cur = x.astype(_I64) << _I64(max(ADM_BAND_Q[0] - in_q, 0))
     out = []
     for lvl in range(NUM_LEVELS):
-        drop = ADM_BAND_Q[lvl - 1] - ADM_BAND_Q[lvl] if lvl else 0
+        if lvl:
+            drop = ADM_BAND_Q[lvl - 1] - ADM_BAND_Q[lvl]
+        else:
+            drop = max(in_q - ADM_BAND_Q[0], 0)
         bands = dwt2_db2_int(cur, extra_row_shift=drop)
         peak = max(max(abs(int(b.min())), int(b.max()))
                    for b in bands.values())

@@ -179,28 +179,23 @@ def vif_features_int(
 ) -> List[float]:
     """uint8/uint16 luma pair -> [vif_scale0..3], integer fixed-point path.
 
-    Native-grid high bit depth (round 3): 10/12-bit codes enter scale 0
-    carrying their extra bits as fixed-point fraction (in_q = depth-8 on
-    the 8-bit pixel scale — libvmaf's 16-bit profile shape: the scale-0
-    vertical mu shift becomes ``bpc``, the product shifts widen by
-    2*(depth-8), and the sigma statistic stays in the same Q16-pixel^2
-    domain with sigma_nsq unchanged). No 8-bit-grid rounding loss by
-    construction; rounding placement in the low bits is the natural
-    generalisation of the 8-bit schedule (a real libvmaf binary to
-    cross-check its 16-bit path does not exist here — see
-    docs/CALIBRATION.md). Depths above 12 are first rounded to the 12-bit
-    grid (the DWT band headroom bound).
+    Native-grid high bit depth (round 3, full 10..16-bit since round 4):
+    >8-bit codes enter scale 0 carrying their extra bits as fixed-point
+    fraction (in_q = depth-8 on the 8-bit pixel scale — libvmaf's 16-bit
+    profile shape: the scale-0 vertical mu shift becomes ``bpc``, the
+    product shifts widen by 2*(depth-8), and the sigma statistic stays in
+    the same Q16-pixel^2 domain with sigma_nsq unchanged). At depth 16
+    (in_q = 8, codes < 2^16) scale 0 runs the SAME domain as the Q8
+    decimated scales, so no new accumulator headroom is needed anywhere.
+    No 8-bit-grid rounding loss by construction; rounding placement in
+    the low bits is the natural generalisation of the 8-bit schedule
+    (a real libvmaf binary to cross-check its 16-bit path does not exist
+    here — see docs/CALIBRATION.md).
     """
+    if bit_depth > 16:
+        raise ValueError(f"bit_depth {bit_depth} > 16 not supported")
     ref = np.asarray(ref)
     dist = np.asarray(dist)
-    if bit_depth > 12:
-        half = 1 << (bit_depth - 13)
-        cap = (1 << 12) - 1
-        ref = np.minimum((ref.astype(np.int64) + half) >> (bit_depth - 12),
-                         cap)
-        dist = np.minimum((dist.astype(np.int64) + half) >> (bit_depth - 12),
-                          cap)
-        bit_depth = 12
     ref = ref.astype(_U64)
     dist = dist.astype(_U64)
 

@@ -47,12 +47,52 @@ def _dwt1d_axis_int(
     return (acc + _I32(1 << (s - 1))) >> s
 
 
+def _dwt1d_axis_int_split(
+    x: jnp.ndarray, taps: np.ndarray, axis: int, extra_shift: int = 0
+) -> jnp.ndarray:
+    """_dwt1d_axis_int for NON-NEGATIVE x up to 2^16 (depth-16 level-0
+    codes), where the plain i32 accumulator would overflow (sum|q15 tap| *
+    65535 ~ 2^31.74). Byte-splits the input: with A = filt(x >> 8),
+    B = filt(x & 255) the exact result is
+
+        (A*2^8 + B + 2^(s-1)) >> s  =  (A >> (s-8))
+                                       + (((A & m)<<8) + B + 2^(s-1)) >> s
+
+    (floor-division algebra, any signed A/B) — every intermediate < 2^25,
+    value-identical to the oracle's int64 pass."""
+    n = x.shape[axis]
+    n2 = (n + 1) // 2
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (1, 2)
+    xp = jnp.pad(x, pad, mode="symmetric")
+    xh = xp >> 8
+    xl = xp & _I32(255)
+    acc_h = None
+    acc_l = None
+    for t in range(4):
+        sl = [slice(None)] * x.ndim
+        sl[axis] = slice(t, t + 2 * n2 - 1, 2)
+        c = _I32(int(taps[t]))
+        th_ = c * xh[tuple(sl)]
+        tl_ = c * xl[tuple(sl)]
+        acc_h = th_ if acc_h is None else acc_h + th_
+        acc_l = tl_ if acc_l is None else acc_l + tl_
+    s = 15 + extra_shift
+    a1 = acc_h >> (s - 8)
+    a0 = acc_h & _I32((1 << (s - 8)) - 1)
+    return a1 + (((a0 << 8) + acc_l + _I32(1 << (s - 1))) >> s)
+
+
 def dwt2_int_batched(
-    x: jnp.ndarray, extra_row_shift: int = 0
+    x: jnp.ndarray, extra_row_shift: int = 0, split_first: bool = False
 ) -> Dict[str, jnp.ndarray]:
-    """One integer DWT level over (N, H, W) int32 -> dict(a, h, v, d)."""
-    lo_r = _dwt1d_axis_int(x, DB2_LO_Q15, axis=-2, extra_shift=extra_row_shift)
-    hi_r = _dwt1d_axis_int(x, DB2_HI_Q15, axis=-2, extra_shift=extra_row_shift)
+    """One integer DWT level over (N, H, W) int32 -> dict(a, h, v, d).
+
+    ``split_first`` runs the first (vertical) pass in split arithmetic —
+    required only for depth-16 level 0 (see _dwt1d_axis_int_split)."""
+    first = _dwt1d_axis_int_split if split_first else _dwt1d_axis_int
+    lo_r = first(x, DB2_LO_Q15, axis=-2, extra_shift=extra_row_shift)
+    hi_r = first(x, DB2_HI_Q15, axis=-2, extra_shift=extra_row_shift)
     return {
         "a": _dwt1d_axis_int(lo_r, DB2_LO_Q15, axis=-1),
         "v": _dwt1d_axis_int(lo_r, DB2_HI_Q15, axis=-1),
@@ -125,19 +165,28 @@ def adm_features_int_batched(
 ) -> jnp.ndarray:
     """(N, H, W) luma pair -> (N,) adm2, integer fixed-point path."""
     h, w = ref.shape[-2], ref.shape[-1]
-    # Native >8-bit grid: codes carry in_q fractional bits, so the
-    # initial shift narrows to keep level 0 at Q4 on the 8-bit scale
-    # (golden/adm_int.py:dwt_pyramid_int).
+    # Native >8-bit grid: codes carry in_q fractional bits. Up to Q4 the
+    # initial shift keeps level 0 at Q4 on the 8-bit scale; deeper codes
+    # (13..16-bit) enter unshifted and level 0's first pass folds the
+    # surplus into its rounding shift (golden/adm_int.py:dwt_pyramid_int).
+    # Depth 16 additionally needs the split first pass (accumulator
+    # headroom — _dwt1d_axis_int_split).
     ref_c, in_q = to_native_grid(ref, bit_depth)
     dist_c, _ = to_native_grid(dist, bit_depth)
-    cur_r = ref_c.astype(_I32) << (ADM_BAND_Q[0] - in_q)
-    cur_d = dist_c.astype(_I32) << (ADM_BAND_Q[0] - in_q)
+    cur_r = ref_c.astype(_I32) << max(ADM_BAND_Q[0] - in_q, 0)
+    cur_d = dist_c.astype(_I32) << max(ADM_BAND_Q[0] - in_q, 0)
+    split0 = in_q >= 8
     num = 0.0
     den = 0.0
     for lvl in range(NUM_LEVELS):
-        drop = ADM_BAND_Q[lvl - 1] - ADM_BAND_Q[lvl] if lvl else 0
-        o_bands = dwt2_int_batched(cur_r, extra_row_shift=drop)
-        t_bands = dwt2_int_batched(cur_d, extra_row_shift=drop)
+        if lvl:
+            drop = ADM_BAND_Q[lvl - 1] - ADM_BAND_Q[lvl]
+        else:
+            drop = max(in_q - ADM_BAND_Q[0], 0)
+        o_bands = dwt2_int_batched(cur_r, extra_row_shift=drop,
+                                   split_first=split0 and lvl == 0)
+        t_bands = dwt2_int_batched(cur_d, extra_row_shift=drop,
+                                   split_first=split0 and lvl == 0)
         cur_r, cur_d = o_bands["a"], t_bands["a"]
         rst, add = decouple_int_batched(o_bands, t_bands, gain_limit)
         scale = 1.0 / (1 << ADM_BAND_Q[lvl])

@@ -47,7 +47,8 @@ def _trim(w: int) -> int:
 
 
 def _make_int_kernel(tile_b: int, w2: int, w2p: int, h2: int, level: int,
-                     gain_limit: float, extra_row_shift: int):
+                     gain_limit: float, extra_row_shift: int,
+                     in_split: bool = False):
     lo = [int(c) for c in DB2_LO_Q15]
     hi = [int(c) for c in DB2_HI_Q15]
     nb = tile_b + 2
@@ -91,15 +92,42 @@ def _make_int_kernel(tile_b: int, w2: int, w2p: int, h2: int, level: int,
             def col_pass(taps):
                 # Vertical (row-tap) pass with the schedule's intermediate
                 # rounding (ops/adm_int.py:_dwt1d_axis_int, axis=-2).
-                e_lo = (_I32(taps[0]) * ee[:nb]
-                        + _I32(taps[2]) * ee[1 : nb + 1])
-                o_lo = (_I32(taps[1]) * oe[:nb]
-                        + _I32(taps[3]) * oe[1 : nb + 1])
-                e_hi = (_I32(taps[0]) * eo[:nb]
-                        + _I32(taps[2]) * eo[1 : nb + 1])
-                o_hi = (_I32(taps[1]) * oo[:nb]
-                        + _I32(taps[3]) * oo[1 : nb + 1])
-                return rshift(e_lo + o_lo, s_row), rshift(e_hi + o_hi, s_row)
+                if not in_split:
+                    e_lo = (_I32(taps[0]) * ee[:nb]
+                            + _I32(taps[2]) * ee[1 : nb + 1])
+                    o_lo = (_I32(taps[1]) * oe[:nb]
+                            + _I32(taps[3]) * oe[1 : nb + 1])
+                    e_hi = (_I32(taps[0]) * eo[:nb]
+                            + _I32(taps[2]) * eo[1 : nb + 1])
+                    o_hi = (_I32(taps[1]) * oo[:nb]
+                            + _I32(taps[3]) * oo[1 : nb + 1])
+                    return (rshift(e_lo + o_lo, s_row),
+                            rshift(e_hi + o_hi, s_row))
+
+                # Depth-16 level 0: codes < 2^16 overflow the plain i32
+                # accumulator (sum|q15 tap| * 65535 ~ 2^31.74). Byte-split
+                # exactly as ops/adm_int.py:_dwt1d_axis_int_split.
+                def acc_split(pairs):
+                    acc_h = acc_l = None
+                    for c, plane in pairs:
+                        ch = _I32(c) * (plane >> 8)
+                        cl = _I32(c) * (plane & _I32(255))
+                        acc_h = ch if acc_h is None else acc_h + ch
+                        acc_l = cl if acc_l is None else acc_l + cl
+                    a1 = acc_h >> (s_row - 8)
+                    a0 = acc_h & _I32((1 << (s_row - 8)) - 1)
+                    return a1 + (((a0 << 8) + acc_l
+                                  + _I32(1 << (s_row - 1))) >> s_row)
+
+                out_lo = acc_split([
+                    (taps[0], ee[:nb]), (taps[2], ee[1 : nb + 1]),
+                    (taps[1], oe[:nb]), (taps[3], oe[1 : nb + 1]),
+                ])
+                out_hi = acc_split([
+                    (taps[0], eo[:nb]), (taps[2], eo[1 : nb + 1]),
+                    (taps[1], oo[:nb]), (taps[3], oo[1 : nb + 1]),
+                ])
+                return out_lo, out_hi
 
             lo_e, lo_o = col_pass(lo)
             hi_e, hi_o = col_pass(hi)
@@ -235,7 +263,8 @@ def _make_int_kernel(tile_b: int, w2: int, w2p: int, h2: int, level: int,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "level", "gain_limit", "tile_b", "interpret", "extra_row_shift"))
+    "level", "gain_limit", "tile_b", "interpret", "extra_row_shift",
+    "in_split"))
 def adm_int_level_pallas(
     ref: jnp.ndarray,
     dist: jnp.ndarray,
@@ -244,6 +273,7 @@ def adm_int_level_pallas(
     tile_b: int = DEFAULT_TILE_B,
     interpret: bool = False,
     extra_row_shift: int = 0,
+    in_split: bool = False,
 ):
     """One integer ADM level. ref/dist: (N, H, W) int32 approx bands at
     Q(ADM_BAND_Q[level-1] or input Q). Returns (sums, a_ref, a_dist)."""
@@ -277,7 +307,7 @@ def adm_int_level_pallas(
     d_comps = components(dist)
 
     kernel, comp_rows = _make_int_kernel(
-        tile_b, w2, w2p, h2, level, gain_limit, extra_row_shift)
+        tile_b, w2, w2p, h2, level, gain_limit, extra_row_shift, in_split)
     acc, a_ref, a_dist = pl.pallas_call(
         kernel,
         grid=(n, num_tiles),
@@ -322,21 +352,26 @@ def adm_features_int_pallas(
     from pqa2_tpu.ops.vif_int import to_native_grid
 
     h, w = ref.shape[-2], ref.shape[-1]
-    # Native >8-bit grid: codes carry in_q fractional bits, so the
-    # initial shift narrows to keep level 0 at Q4 on the 8-bit scale
-    # (golden/adm_int.py:dwt_pyramid_int).
+    # Native >8-bit grid: codes carry in_q fractional bits. Up to Q4 the
+    # initial shift keeps level 0 at Q4 on the 8-bit scale; 13..16-bit
+    # codes enter unshifted and level 0's vertical pass folds the surplus
+    # into its rounding shift; depth 16 splits that pass's accumulator
+    # (golden/adm_int.py:dwt_pyramid_int, ops/adm_int.py).
     ref_c, in_q = to_native_grid(ref, bit_depth)
     dist_c, _ = to_native_grid(dist, bit_depth)
-    cur_r = ref_c.astype(_I32) << (ADM_BAND_Q[0] - in_q)
-    cur_d = dist_c.astype(_I32) << (ADM_BAND_Q[0] - in_q)
+    cur_r = ref_c.astype(_I32) << max(ADM_BAND_Q[0] - in_q, 0)
+    cur_d = dist_c.astype(_I32) << max(ADM_BAND_Q[0] - in_q, 0)
     num = 0.0
     den = 0.0
     for lvl in range(NUM_LEVELS):
-        drop = ADM_BAND_Q[lvl - 1] - ADM_BAND_Q[lvl] if lvl else 0
+        if lvl:
+            drop = ADM_BAND_Q[lvl - 1] - ADM_BAND_Q[lvl]
+        else:
+            drop = max(in_q - ADM_BAND_Q[0], 0)
         h2, w2 = (cur_r.shape[1] + 1) // 2, (cur_r.shape[2] + 1) // 2
         sums, cur_r, cur_d = adm_int_level_pallas(
             cur_r, cur_d, lvl, gain_limit=gain_limit, interpret=interpret,
-            extra_row_shift=drop,
+            extra_row_shift=drop, in_split=in_q >= 8 and lvl == 0,
         )
         th, tw = _trim(h2), _trim(w2)
         n_core = (h2 - 2 * th) * (w2 - 2 * tw)

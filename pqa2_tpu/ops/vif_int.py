@@ -26,6 +26,7 @@ scales — static and unrolled at trace time; shapes stay (N, H, W).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -364,7 +365,15 @@ def _statistic_element(s1i, s2i, s12i, gain_limit: float):
     # --- num: q, r = divmod(s12^2, s1); boundary-corrected truncations ---
     d = jnp.where(num_branch, s1, _U32(1) << 20)  # masked lanes: safe d
     p_hi, p_lo = _mul_split(s12, s12)
-    q_hi, q_lo, r = _div_u64_u32(p_hi, p_lo, d)
+    if os.environ.get("PQA2_EXACT_ABLATE") == "nodiv":
+        # Timing-only ablation (wrong values): one f32 division replaces
+        # the exact u64/u32 long division, isolating its runtime share.
+        pf = _u32_f32(p_hi) * jnp.float32(2.0**32) + _u32_f32(p_lo)
+        q_lo = _f32_u32(jnp.clip(jnp.floor(pf / _u32_f32(d)), 0.0, 2.0**31))
+        q_hi = jnp.zeros_like(q_lo)
+        r = jnp.zeros_like(q_lo)
+    else:
+        q_hi, q_lo, r = _div_u64_u32(p_hi, p_lo, d)
     # q as f32 for the epsilon-boundary terms (exact integer compare uses
     # the pair form below)
     qf = _u32_f32(q_hi) * jnp.float32(2.0**32) + _u32_f32(q_lo)
@@ -496,24 +505,23 @@ def to_native_grid(x: jnp.ndarray, bit_depth: int = 8):
     2^(depth-8)); multiplying back recovers the exact native code — f32
     represents code/2^k exactly — so no grid rounding occurs for real
     sources. in_q = depth-8 is the fixed-point fraction the codes carry on
-    the 8-bit pixel scale. Depths above 12 are rounded onto the 12-bit
-    grid (DWT/conv headroom bound; 10/12-bit are the capture-chain
-    realities, reference vmaf_analyzer.py:411-419 accepts any pixfmt).
+    the 8-bit pixel scale. All depths up to 16 run natively (round 4):
+    in_q = 8 puts scale 0 in the SAME Q8/<2^16-code domain the decimated
+    scales have always run, so every VIF/motion accumulator bound is
+    already proven; ADM's level-0 headroom is handled by its own entry
+    schedule (ops/adm_int.py). The reference accepts any ffmpeg pixfmt
+    (vmaf_analyzer.py:411-419).
     """
-    eff_depth = min(bit_depth, 12)
-    in_q = max(eff_depth - 8, 0)
+    if bit_depth > 16:
+        raise ValueError(f"bit_depth {bit_depth} > 16 not supported")
+    in_q = max(bit_depth - 8, 0)
     if jnp.issubdtype(x.dtype, jnp.floating):
         scale = float(1 << in_q)
         # HALF-UP (floor(x*scale + 0.5)), the (x + half) >> shift rule —
         # exact pass-through for true codes, deterministic for synthetic
         # fractional input.
         codes = jnp.floor(x * scale + 0.5)
-        return jnp.clip(codes, 0, (1 << eff_depth) - 1).astype(_U32), in_q
-    if bit_depth > 12:
-        shift = bit_depth - 12
-        xi = x.astype(jnp.int32)
-        xi = jnp.minimum((xi + (1 << (shift - 1))) >> shift, (1 << 12) - 1)
-        return xi.astype(_U32), in_q
+        return jnp.clip(codes, 0, (1 << bit_depth) - 1).astype(_U32), in_q
     return x.astype(_U32), in_q
 
 

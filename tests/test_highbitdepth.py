@@ -256,6 +256,101 @@ def test_10bit_e2e_y4m_native_pin(tmp_path, rng):
     np.testing.assert_allclose(s_int.vmaf, s_f.vmaf, rtol=0, atol=0.35)
 
 
+@pytest.mark.parametrize("depth", [14, 16])
+def test_native_deep_integer_path_oracle_vs_device(rng, depth):
+    """Depths beyond 12 run natively since round 4 (no 12-bit pre-round):
+    13..15-bit ADM folds the surplus into level 0's first-pass rounding
+    shift in plain i32; depth 16 splits that accumulator. VIF/motion at
+    in_q=8 reuse the proven Q8 decimated-scale domain. Oracle and device
+    twin must agree per feature at every depth."""
+    import jax.numpy as jnp
+
+    from pqa2_tpu.golden.adm_int import adm_features_int
+    from pqa2_tpu.golden.motion_int import motion_features_int as motion_o
+    from pqa2_tpu.golden.vif_int import vif_features_int
+    from pqa2_tpu.ops.adm_int import adm_features_int_batched
+    from pqa2_tpu.ops.motion_int import motion_features_int as motion_d
+    from pqa2_tpu.ops.vif_int import vif_features_int_batched
+
+    peak = (1 << depth) - 1
+    ref = rng.integers(0, peak + 1, (3, 72, 96)).astype(np.uint16)
+    dist = np.clip(
+        ref.astype(np.int32) + rng.integers(-40 << (depth - 10),
+                                            (40 << (depth - 10)) + 1,
+                                            ref.shape),
+        0, peak).astype(np.uint16)
+
+    fo = vif_features_int(ref[0], dist[0], bit_depth=depth)
+    fd = np.asarray(vif_features_int_batched(
+        jnp.asarray(ref[:1], jnp.uint32), jnp.asarray(dist[:1], jnp.uint32),
+        bit_depth=depth))[0]
+    np.testing.assert_allclose(fd, fo, rtol=0, atol=2e-6)
+
+    ao = adm_features_int(ref[0], dist[0], bit_depth=depth)[0]
+    ad = float(np.asarray(adm_features_int_batched(
+        jnp.asarray(ref[:1], jnp.uint32), jnp.asarray(dist[:1], jnp.uint32),
+        bit_depth=depth))[0])
+    np.testing.assert_allclose(ad, ao, rtol=0, atol=1e-6)
+
+    mo, m2o = motion_o(ref, bit_depth=depth)
+    md, m2d = motion_d(jnp.asarray(ref, jnp.uint32), bit_depth=depth)
+    np.testing.assert_allclose(np.asarray(md), mo, rtol=0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(m2d), m2o, rtol=0, atol=1e-5)
+
+    # Scale-invariance cross-check against the float family.
+    from pqa2_tpu.golden.vif import vif_features
+
+    div = float(1 << (depth - 8))
+    ff = vif_features(ref[0].astype(np.float64) / div,
+                      dist[0].astype(np.float64) / div)
+    assert np.max(np.abs(np.array(fo) - np.array(ff))) < 3e-3
+
+
+def test_native_16bit_shifted_8bit_consistency(rng):
+    """A 16-bit clip that is exactly 8-bit<<8 scores like the 8-bit clip."""
+    from pqa2_tpu.golden.adm_int import adm_features_int
+    from pqa2_tpu.golden.vif_int import vif_features_int
+
+    ref8 = rng.integers(0, 256, (64, 80)).astype(np.uint8)
+    dist8 = np.clip(ref8.astype(np.int16)
+                    + rng.integers(-12, 13, ref8.shape), 0, 255
+                    ).astype(np.uint8)
+    f8 = vif_features_int(ref8, dist8)
+    f16 = vif_features_int(ref8.astype(np.uint32) << 8,
+                           dist8.astype(np.uint32) << 8, bit_depth=16)
+    np.testing.assert_allclose(f16, f8, rtol=0, atol=1e-3)
+    a8 = adm_features_int(ref8, dist8)[0]
+    a16 = adm_features_int(ref8.astype(np.uint32) << 8,
+                           dist8.astype(np.uint32) << 8, bit_depth=16)[0]
+    np.testing.assert_allclose(a16, a8, rtol=0, atol=1e-3)
+
+
+def test_16bit_e2e_y4m_native_pin(tmp_path, rng):
+    """End-to-end 16-bit y4m pair (VERDICT round-3 item 3): native-grid
+    integer default produces sane scores pinned against the float family;
+    PSNR pools at the native 65535 peak."""
+    n, h, w = 3, 48, 64
+    base = rng.uniform(4096, 60000, size=(n, h, w))
+    for _ in range(2):
+        base = (base + np.roll(base, 1, -1) + np.roll(base, -1, -1)
+                + np.roll(base, 1, -2) + np.roll(base, -1, -2)) / 5.0
+    ref16 = np.round(base).astype(np.uint16)
+    dist16 = np.clip(ref16.astype(np.int32)
+                     + rng.integers(-512, 513, ref16.shape), 0, 65535
+                     ).astype(np.uint16)
+    pr, pd = str(tmp_path / "r16.y4m"), str(tmp_path / "d16.y4m")
+    write_y4m(pr, [_planes(f, 16) for f in ref16], colorspace="C420p16")
+    write_y4m(pd, [_planes(f, 16) for f in dist16], colorspace="C420p16")
+
+    s_int = stream_score(pr, pd, with_ssim=True)
+    s_f = stream_score(pr, pd, with_psnr=False, with_ssim=False,
+                       precision="float")
+    assert s_int.peak == 65535.0
+    assert np.all(np.asarray(s_int.vmaf) > 20.0)
+    assert np.all(np.asarray(s_int.vmaf) <= 100.0)
+    np.testing.assert_allclose(s_int.vmaf, s_f.vmaf, rtol=0, atol=0.35)
+
+
 def test_geometry_mismatch_is_descriptive(tmp_path, rng):
     ref = rng.integers(0, 255, (2, 48, 64)).astype(np.uint8)
     dist = rng.integers(0, 255, (2, 32, 48)).astype(np.uint8)
