@@ -1,0 +1,143 @@
+"""Correctly-rounded float32 log2 for 16-bit mantissas — double-f32, no LUT.
+
+The exact integer VIF statistic needs t[m] = round(log2f(m) * 2048) for
+mantissas m in [2^15, 2^16) (golden/log2lut.py), where log2f is the
+CORRECTLY-ROUNDED f32 log2. Hardware/compiler log2 is only faithful
+(+-1 ulp): measured 1909/32768 mantissas off by one table step on TPU
+Mosaic and 34 on XLA:CPU. The round-3/4 fallback fetches exact integer
+breakpoints through a one-hot MXU matmul — correct, but ~46% of the whole
+4K exact-VIF frame time (measured 4.9 of 10.6 ms/frame).
+
+This module computes y32 = RN_f32(log2(m)) EXACTLY, from which
+
+    u(m) = floor(y32 * 2048 + 0.5) - 30720
+
+reproduces the table with no lookup at all (y32*2048 is exact — power-of-
+two scale; +0.5 lands on the same 2^-9 grid; floor of an exact value is
+C round() for positive x).
+
+Method: Dekker/Knuth double-f32 (no FMA, no tables):
+
+    r  = m * 2^-15                   exact (power-of-two scale)
+    s  = (r-1)/(r+1) as a hi+lo pair (exact numerator by Sterbenz; the
+                                      denominator pair from Fast2Sum; one
+                                      correction quotient)
+    log2(r) = (2/ln2) * (s + s^3/3 + s^5/5 + ...)
+       - s^2 as a pair (two_prod); the s^2/3 and (s^2)^2/5 terms in pair
+         arithmetic; s^7/7 .. s^15/15 in plain f32 (magnitude <= 2^-18)
+    y  = 15 + (2/ln2 split) * S      accumulated as a pair, rounded once
+
+Why this is EXACT and not merely accurate: over the 32768 relevant
+mantissas the true log2(m) never comes closer than 2^-35.8 to an f32
+rounding midpoint (exhaustively computed in 80-bit — the table-maker
+margin), while the pair evaluation's error is ~2^-40. Correctness does
+NOT rest on that analysis: tests/test_log2lut.py re-runs this EXACT op
+sequence in IEEE numpy float32 over every mantissa against the golden
+table, and ops/pallas_vif_int.py:log2_direct_ok probes the same sequence
+inside a compiled kernel per backend (catching e.g. FMA contraction that
+would break Dekker's error-free transforms), falling back to the MXU
+breakpoint fetch if a backend fails the probe.
+
+The implementation is array-module generic: pass numpy float32 arrays for
+the host-side exhaustive verification, jnp arrays (inside jit or a Pallas
+kernel) for device execution — the op sequence is identical.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_F = np.float32
+
+# 2/ln2 split into an exact-sum f32 pair.
+_C_HI = _F(2.0 / np.log(2.0))
+_C_LO = _F(2.0 / np.log(2.0) - np.float64(_C_HI))
+# 1/3 and 1/5 splits (leading series terms evaluated in pair arithmetic).
+_F3_HI = _F(1.0 / 3.0)
+_F3_LO = _F(1.0 / 3.0 - np.float64(_F3_HI))
+_F5_HI = _F(1.0 / 5.0)
+_F5_LO = _F(1.0 / 5.0 - np.float64(_F5_HI))
+# Plain-f32 tail coefficients (terms <= 2^-18 — f32 headroom is ample).
+_C7 = _F(1.0 / 7.0)
+_C9 = _F(1.0 / 9.0)
+_C11 = _F(1.0 / 11.0)
+_C13 = _F(1.0 / 13.0)
+_C15 = _F(1.0 / 15.0)
+
+_SPLITTER = _F(4097.0)  # 2^12 + 1 (Dekker split for f32)
+
+
+def _two_prod(a, b):
+    """Exact a*b = p + e (Dekker/Veltkamp, FMA-free, pure IEEE f32)."""
+    p = a * b
+    ca = a * _SPLITTER
+    ah = ca - (ca - a)
+    al = a - ah
+    cb = b * _SPLITTER
+    bh = cb - (cb - b)
+    bl = b - bh
+    e = ((ah * bh - p) + ah * bl + al * bh) + al * bl
+    return p, e
+
+
+def _fast2sum(a, b):
+    """Exact a+b = s + e for |a| >= |b| (Dekker)."""
+    s = a + b
+    z = s - a
+    e = b - z
+    return s, e
+
+
+def log2_q11_direct(m):
+    """Integer-valued f32 mantissas in [2^15, 2^16) -> u = t[m] - 30720.
+
+    Returns the Q11 quantised-log index as f32 integers in [0, 2048]
+    (cast at the caller; values outside the mantissa range produce
+    finite garbage — callers mask invalid lanes, as with the LUT path).
+    Works on numpy f32 (host verification) and jnp f32 (device) alike.
+    """
+    one = _F(1.0)
+    r = m * _F(2.0 ** -15)  # exact
+    n = r - one  # exact (Sterbenz: r in [1, 2))
+    dh, dl = _fast2sum(r, one)  # r + 1 exactly as a pair
+    q1 = n / dh
+    p, pe = _two_prod(q1, dh)
+    e = ((n - p) - pe) - q1 * dl
+    q2 = e / dh  # s = q1 + q2, rel err ~2^-45
+
+    zh, ze = _two_prod(q1, q1)
+    zl = ze + _F(2.0) * (q1 * q2)  # s^2 as a pair
+    z = zh + zl
+
+    # Plain tail: z^3 * (1/7 + z*(1/9 + z*(1/11 + z*(1/13 + z/15)))).
+    t3 = (z * z * z) * (
+        _C7 + z * (_C9 + z * (_C11 + z * (_C13 + z * _C15)))
+    )
+    # (s^2)^2 / 5 in pair arithmetic.
+    z2h, z2e = _two_prod(zh, zh)
+    z2l = z2e + _F(2.0) * (zh * zl)
+    t2h, t2e = _two_prod(z2h, _F5_HI)
+    t2l = t2e + (z2h * _F5_LO + z2l * _F5_HI)
+    # s^2 / 3 in pair arithmetic.
+    t1h, t1e = _two_prod(zh, _F3_HI)
+    t1l = t1e + (zh * _F3_LO + zl * _F3_HI)
+    # tau = t1 + t2 + t3 (descending magnitudes).
+    th, te = _fast2sum(t1h, t2h)
+    tl = te + (t1l + t2l + t3)
+    th, te = _fast2sum(th, tl)
+    tl = te
+    # w = s * tau.
+    wh, we = _two_prod(q1, th)
+    wl = we + (q1 * tl + q2 * th)
+    # S = s + w.
+    sh, se = _fast2sum(q1, wh)
+    sl = se + (q2 + wl)
+    sh, se = _fast2sum(sh, sl)
+    sl = se
+    # g = (2/ln2) * S;  y = 15 + g.
+    gh, ge = _two_prod(sh, _C_HI)
+    gl = ge + (sh * _C_LO + sl * _C_HI)
+    yh, ye = _fast2sum(_F(15.0), gh)
+    yl = ye + gl
+    y32 = yh + yl  # the correctly-rounded f32 log2(m)
+    return (y32 * _F(2048.0) + _F(0.5)) // one - _F(30720.0)

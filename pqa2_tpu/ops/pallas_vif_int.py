@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -45,6 +46,12 @@ from pqa2_tpu.ops.vif_int import _mul_shift32, _statistic_element
 
 DEFAULT_TILE_H = 64
 TILE_W = 512
+
+# Profiling-only ablation knob (tools/; NOT a correctness switch): "nofetch"
+# skips the breakpoint-fetch correction inside the exact statistic (wrong
+# scores, isolates the MXU fetch's runtime share), any other value is
+# ignored. Timing harnesses set it per-subprocess.
+_ABLATE = os.environ.get("PQA2_EXACT_ABLATE", "")
 
 _MASK16 = np.uint32(0xFFFF)
 
@@ -79,6 +86,85 @@ def _exact_fused_in_bounds(h: int, w: int, tile_h: int,
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
+
+
+_LOG2_DIRECT_EXC: dict = {}
+_LOG2_DIRECT_MAX_EXC = 8
+
+
+def log2_direct_exceptions(interpret: bool = False):
+    """Exhaustive on-device audit of ops/crlog2.py's double-f32 log2
+    against golden/log2lut.py's Q11 table
+
+        u(m) = round(log2f(m) * 2048) - 30720   (log2f correctly rounded)
+
+    for EVERY mantissa m in [2^15, 2^16) — evaluated INSIDE a Pallas
+    kernel so the probed sequence is the exact lowering the statistic
+    kernel uses.  The hardware log2 itself is only faithful (1909/32768
+    mantissas off by one step on TPU Mosaic, 34 on XLA:CPU), which is why
+    the sequence is built from Dekker error-free transforms instead; the
+    in-kernel probe catches any backend whose compiler breaks those
+    transforms (FMA contraction, reassociation, flush-to-zero).
+
+    Returns a tuple of per-backend corrections ((mantissa, delta), ...) —
+    empty when the sequence is already exact (TPU Mosaic: 0/32768), tiny
+    when a compiler contraction nudges isolated near-ties (XLA: exactly
+    one, m=61340, off by one step) — or None when the backend misses more
+    than _LOG2_DIRECT_MAX_EXC mantissas and the direct engine must not be
+    used.  With a non-None answer the fused exact statistic computes the
+    table value directly per pixel (plus one compare-add per exception)
+    and drops the breakpoint-fetch machinery entirely (the MXU fetch
+    measured 4.9 of 10.6 ms per 4K frame); on None the proven one-hot MXU
+    fetch remains the fallback.  Probed once per backend and cached.  The
+    probe itself must execute EAGERLY (it reads device results back); if
+    first queried while an outer jit is tracing, it conservatively
+    answers None (fetch path) WITHOUT caching — eager call sites
+    (pipeline/scoring, the parallel scorer builders, bench) probe up
+    front so the fast answer is cached before any traced query."""
+    if jax.default_backend() != "tpu":
+        interpret = True  # compiled pallas exists only on TPU here
+    key = (jax.default_backend(), bool(interpret))
+    if key in _LOG2_DIRECT_EXC:
+        return _LOG2_DIRECT_EXC[key]
+    try:
+        from jax._src.core import trace_state_clean  # not re-exported >=0.9
+    except ImportError:  # pragma: no cover - future jax renames
+        def trace_state_clean():
+            return True
+    if not trace_state_clean():
+        return None
+
+    from pqa2_tpu.golden.log2lut import log2_table
+    from pqa2_tpu.ops.crlog2 import log2_q11_direct
+
+    def kernel(m_ref, o_ref):
+        o_ref[...] = log2_q11_direct(m_ref[...]).astype(jnp.int32)
+
+    m_host = (32768.0 + np.arange(32768.0)).reshape(256, 128)
+    got = pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((256, 128), jnp.int32),
+        interpret=interpret,
+    )(jnp.asarray(m_host, jnp.float32))
+    got = np.asarray(got).reshape(-1).astype(np.int64)
+    want = log2_table()[32768:65536].astype(np.int64) - 30720
+    bad = np.nonzero(got != want)[0]
+    if len(bad) > _LOG2_DIRECT_MAX_EXC:
+        exc = None
+    else:
+        exc = tuple(
+            (int(i) + 32768, int(want[i] - got[i])) for i in bad
+        )
+    _LOG2_DIRECT_EXC[key] = exc
+    return exc
+
+
+def log2_direct_ok(interpret: bool = False) -> bool:
+    """True when the direct double-f32 table engine is usable on this
+    backend (see log2_direct_exceptions)."""
+    return log2_direct_exceptions(interpret) is not None
 
 
 _BP_PLANES = None
@@ -130,20 +216,37 @@ def _bp_planes() -> jnp.ndarray:
     return jnp.asarray(_BP_PLANES, dtype=jnp.bfloat16)
 
 
-def _fused_exact_slots(s1, s2, s12, gain_limit, valid, tile_w, planes):
+def _fused_exact_slots(s1, s2, s12, gain_limit, valid, tile_w, planes,
+                       direct_exc=None):
     """Exact LUT statistic fully inside the kernel.
 
     Runs the twin's element stage (ops/vif_int.py:_statistic_element) on
-    the tile, evaluates the three Q11 log lookups per log-branch pixel
-    via the gather-free breakpoint scheme (f32 log2 candidate, +-1-safe,
-    corrected by integer comparisons against the exact breakpoints
-    fetched TWO-PER-COLUMN with a block-diagonal one-hot bf16 matmul —
-    MXU work, which the statistic phase otherwise leaves idle; see
-    _bp_planes), and reduces everything to per-tile integer partial sums
-    split into 12-bit pieces so the f32 accumulator block stays exact
-    across the _exact_fused_max_tiles bound.  vif_int_scale_pallas
-    recombines the pieces into _statistic's exact (hi, lo) pairs — the
-    final f32 num/den are bit-identical to the XLA twin.
+    the tile, evaluates the three Q11 log lookups per log-branch pixel,
+    and reduces everything to per-tile integer partial sums split into
+    12-bit pieces so the f32 accumulator block stays exact across the
+    _exact_fused_max_tiles bound.  vif_int_scale_pallas recombines the
+    pieces into _statistic's exact (hi, lo) pairs — the final f32
+    num/den are bit-identical to the XLA twin.
+
+    Two lookup engines, both exact:
+
+    * ``direct_exc is not None`` (the fast path, gated per backend by
+      log2_direct_exceptions, whose audited correction list this is):
+      ops/crlog2.py computes the correctly-rounded f32 log2 in double-f32
+      arithmetic, from which the Q11 table value follows by one rounding
+      — pure VPU work, no table, no MXU pass — plus one compare-add per
+      audited exception mantissa (0 on TPU Mosaic, 1 on XLA).
+    * ``direct_exc is None`` (fallback): f32 log2 candidate, +-1-safe,
+      corrected by integer comparisons against the exact breakpoints
+      fetched TWO-PER-COLUMN with a block-diagonal one-hot bf16 matmul
+      (see _bp_planes).
+
+    Both accumulate the OFFSET table value u = t[m] - 30720 in [0, 2048]:
+    the den sum then stays <= 2048 * 2^16 = 2^27 per 128x512 tile — the
+    raw t sum could reach 32768 * 2^16 = 2^31 EXACTLY (11 mantissas hit
+    t = 32768), one past i32's ceiling.  The offsets cancel in num
+    (t1 - t2 = u1 - u2) and _recombine_exact restores den's 30720*n_log
+    term exactly.
 
     Returns [(acc column, f32 scalar), ...] for columns 4..20.
     """
@@ -175,14 +278,33 @@ def _fused_exact_slots(s1, s2, s12, gain_limit, valid, tile_w, planes):
         return jnp.reshape(x, (1, nlan))
 
     def fetch2(mfa, mfb):
-        """Paired lookups: exact t values (i32) for two mantissa streams
-        from ONE streamed MXU pass (the _bp_planes block-diag pack)."""
+        """Paired lookups: exact OFFSET table values u = t[m] - 30720
+        (i32 in [0, 2048]) for two mantissa streams.
+
+        direct: ops/crlog2.py per stream (+ audited per-backend
+        exception compare-adds) — no table data touched.
+        fallback: ONE streamed MXU pass (the _bp_planes block-diag pack)
+        corrects the +-1-safe f32 log2 candidate."""
+        if direct_exc is not None:
+            from pqa2_tpu.ops.crlog2 import log2_q11_direct
+
+            def u_one(mf):
+                u = log2_q11_direct(mf)
+                for m_e, d_e in direct_exc:
+                    u = u + jnp.where(mf == np.float32(m_e),
+                                      f32(d_e), f32(0.0))
+                return jnp.clip(u, 0.0, 2048.0).astype(i32)
+
+            return [u_one(mfa), u_one(mfb)]
         wc = mfa.shape[1]
         mf = jnp.concatenate([mfa, mfb], axis=0)  # (2, wc)
         # One-fetch floor form (see _bp_planes): f in {u-1, u} exactly.
         idxf = jnp.clip(
             jnp.floor(jnp.log2(mf) * 2048.0 - 30720.0), 0.0, 2047.0
         )
+        if _ABLATE == "nofetch":  # timing-only: skip the correction
+            t_ = idxf.astype(i32)
+            return [t_[0:1], t_[1:2]]
         jdx = idxf.astype(i32)
         q = jdx >> 5
         r = jdx & 31
@@ -203,25 +325,27 @@ def _fused_exact_slots(s1, s2, s12, gain_limit, valid, tile_w, planes):
                          keepdims=True)
             bcur = v0 * 256.0 + v1  # B(f + 1), exact
             u = idxf[s_:s_ + 1] + (mf[s_:s_ + 1] >= bcur).astype(f32)
-            tvs.append((u + 30720.0).astype(i32))  # t[m], exact
+            tvs.append(u.astype(i32))  # t[m] - 30720, exact
         return tvs
 
-    # Chunked fetches bound the (128, CH) operands so the bf16 MXU pass
-    # and its f32 selects stay VMEM-friendly at any tile size.
+    # Chunked lookups bound the (128, CH) operands so the bf16 MXU pass
+    # (or the direct path's double-f32 temporaries) stay VMEM-friendly at
+    # any tile size.
     CH = 8192
-    # Numerator: t[m1] - t[m2] per num-branch pixel — the two streams
-    # pair into one fetch.  |t1 - t2| <= 2047, so the i32 total stays
-    # under 2^27 even at 128x512 tiles.
+    # Numerator: t[m1] - t[m2] = u1 - u2 per num-branch pixel (the 30720
+    # offsets cancel) — the two streams pair into one lookup.
+    # |u1 - u2| <= 2048, so the i32 total stays under 2^28 even at
+    # 128x512 tiles.
     m1f, m2f = flat(m1), flat(m2)
     nbi = flat(nbv).astype(i32)
     num_tab_s = zero
     for c0 in range(0, nlan, CH):
         tva, tvb = fetch2(m1f[:, c0:c0 + CH], m2f[:, c0:c0 + CH])
         num_tab_s = num_tab_s + jnp.sum((tva - tvb) * nbi[:, c0:c0 + CH])
-    # Denominator: one stream, paired with its own second half.  t values
-    # are <= 32767, so the total over <= 65536 lanes is <= 32767*65536 =
-    # 2147418112 < 2^31 - 1: exact in i32 with zero headroom for larger
-    # tiles (vif_features_int_pallas caps exact tiles at 128x512).
+    # Denominator: one stream, paired with its own second half.  OFFSET
+    # values u <= 2048 keep the total over <= 65536 lanes at <= 2^27 —
+    # sound in i32 (the raw t sum would touch 2^31 exactly; see the
+    # function docstring). _recombine_exact restores 30720*n_log.
     hl = nlan // 2
     mdf = flat(m_den)
     lbi = flat(lbv).astype(i32)
@@ -296,7 +420,7 @@ def _statistic_int(s1i, s2i, s12i, gain_limit):
 def _make_int_kernel(taps: np.ndarray, tile_h: int, tile_w: int,
                      h: int, w: int, gain_limit: float, in_q: int,
                      next_taps=None, with_motion=False, emit_sigma=False,
-                     exact_fused=False):
+                     exact_fused=False, exact_direct_exc=None):
     k = len(taps)
     half = k // 2
     rows = tile_h + 2 * half
@@ -307,7 +431,7 @@ def _make_int_kernel(taps: np.ndarray, tile_h: int, tile_w: int,
 
     def kernel(ref_hbm, dist_hbm, *rest):
         rest = list(rest)
-        bp_ref = rest.pop(0) if exact_fused else None
+        bp_ref = rest.pop(0) if exact_fused and exact_direct_exc is None else None
         acc_ref = rest.pop(0)
         if emit_sigma:
             s1_out = rest.pop(0)
@@ -534,7 +658,8 @@ def _make_int_kernel(taps: np.ndarray, tile_h: int, tile_w: int,
             valid_std = (colv + j * tile_w < w) & (rowv + t * tile_h < h)
             exact_slots = _fused_exact_slots(
                 s1.T, s2.T, s12.T, gain_limit, valid_std, tile_w,
-                bp_ref[...],
+                None if exact_direct_exc is not None else bp_ref[...],
+                direct_exc=exact_direct_exc,
             )
             num_s = den_s = jnp.float32(0.0)
         else:
@@ -625,7 +750,7 @@ def _recombine_exact(a: jnp.ndarray, h: int, w: int):
         return hi.astype(f32) * 65536.0 + lo.astype(f32)
 
     acc_num_tab = rec3(4)
-    acc_den_tab = rec3(7)
+    den_hi, den_lo = rec3(7)  # pieces of S_u = sum of (t[m] - 30720)
     acc_num_k = rec2(10)
     acc_den_k = rec2(12)
     n_log = geti(14)
@@ -637,7 +762,16 @@ def _recombine_exact(a: jnp.ndarray, h: int, w: int):
            + acc_num_k.astype(f32)
            + (n_flat.astype(f32)
               - (acc_flat / 16384.0) / 65025.0))
-    den = (pf(acc_den_tab) / 2048.0
+    # Restore den's 30720*n_log offset (the kernel accumulates the offset
+    # table values; see _fused_exact_slots): 30720*n_log = a*2^11 with
+    # a = 15*n_log < 2^28, and a*2^11 = (a>>5)*2^16 + (a&31)*2^11 folds
+    # into the (hi, lo) pair without breaking f32-exactness — hi stays
+    # < 2^24 (tile bound) and lo < 2^24, so the single rounding of
+    # hi*65536 + lo still yields RN(S_t), identical to the twin's pair.
+    a = n_log * 15
+    den_hi = den_hi + (a >> 5)
+    den_lo = den_lo + ((a & 31) << 11)
+    den = (pf((den_hi, den_lo)) / 2048.0
            + acc_den_k.astype(f32)
            - 17.0 * n_log.astype(f32)
            + n_flat.astype(f32))
@@ -648,7 +782,7 @@ def _recombine_exact(a: jnp.ndarray, h: int, w: int):
     jax.jit,
     static_argnames=("scale", "gain_limit", "in_q", "tile_h", "interpret",
                      "emit_next", "with_motion", "emit_sigma",
-                     "exact_fused"),
+                     "exact_fused", "exact_direct_exc"),
 )
 def vif_int_scale_pallas(
     ref: jnp.ndarray,
@@ -662,6 +796,7 @@ def vif_int_scale_pallas(
     with_motion: bool = False,
     emit_sigma: bool = False,
     exact_fused: bool = False,
+    exact_direct_exc: tuple = None,
 ):
     """uint32 (N, H, W) pair (Q{in_q} pixels) at this scale's resolution ->
     (num, den[, sad][, ref', dist']) — or, with ``emit_sigma``,
@@ -698,7 +833,7 @@ def vif_int_scale_pallas(
     kernel, rows = _make_int_kernel(
         taps, tile_h, tile_w, h, w, gain_limit, in_q,
         next_taps=next_taps, with_motion=with_motion, emit_sigma=emit_sigma,
-        exact_fused=exact_fused,
+        exact_fused=exact_fused, exact_direct_exc=exact_direct_exc,
     )
     out_specs = [
         pl.BlockSpec((1, 8, 128), lambda i, j, k2: (i, 0, 0),
@@ -728,7 +863,7 @@ def vif_int_scale_pallas(
         pl.BlockSpec(memory_space=pl.ANY),
     ]
     inputs = [ref_p, dist_p]
-    if exact_fused:
+    if exact_fused and exact_direct_exc is None:
         in_specs.append(
             pl.BlockSpec((128, 128), lambda i, j, k2: (0, 0),
                          memory_space=pltpu.VMEM)
@@ -823,7 +958,16 @@ def vif_features_int_pallas(
     if interpret:
         tile_h = 16
     else:
-        tile_h = 2 * DEFAULT_TILE_H
+        tile_h = int(os.environ.get("PQA2_VIF_TILE_H", 2 * DEFAULT_TILE_H))
+
+    # Per-backend engine choice for the exact statistic (see
+    # log2_direct_exceptions): direct double-f32 table values when the
+    # backend proves them, breakpoint fetch otherwise.  Answered from
+    # cache when this call is itself inside a jit trace.
+    # PQA2_EXACT_ENGINE=fetch forces the fallback (A/B, timing).
+    force_fetch = os.environ.get("PQA2_EXACT_ENGINE", "auto") == "fetch"
+    direct_exc = (log2_direct_exceptions(interpret)
+                  if exact and not force_fetch else None)
 
     for scale in range(4):
         hybrid = exact and (
@@ -840,6 +984,7 @@ def vif_features_int_pallas(
             with_motion=with_motion and scale == 0,
             emit_sigma=hybrid,
             exact_fused=exact and not hybrid,
+            exact_direct_exc=None if hybrid else direct_exc,
         )
         if hybrid:
             s1, s2, s12 = out[0], out[1], out[2]

@@ -193,3 +193,17 @@ def test_statistic_twin_adversarial_planes(rng):
                                    rtol=3e-7, atol=1e-4)
         np.testing.assert_allclose(float(np.asarray(dd)[0]), do,
                                    rtol=3e-7, atol=1e-4)
+
+
+def test_crlog2_direct_exhaustive_numpy():
+    """ops/crlog2.py's double-f32 sequence reproduces the golden Q11 table
+    on EVERY mantissa under strict IEEE numpy float32 — the host-side leg
+    of the per-backend in-kernel audit
+    (ops/pallas_vif_int.py:log2_direct_exceptions). Zero exceptions here:
+    numpy never contracts the Dekker transforms."""
+    from pqa2_tpu.ops.crlog2 import log2_q11_direct
+
+    m = np.arange(2**15, 2**16, dtype=np.float32)
+    u = log2_q11_direct(m).astype(np.int64)
+    want = log2_table().astype(np.int64)[2**15:2**16] - 30720
+    np.testing.assert_array_equal(u, want)

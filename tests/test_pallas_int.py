@@ -166,3 +166,61 @@ def test_exact_fused_bound_geometry():
         # 4096x4096: over the tile cap AND 2^24 pixels — crosses the
         # envelope at either tile height.
         assert not _exact_fused_in_bounds(4096, 4096, th, True)
+
+
+def test_log2_direct_audit_and_corrected_engine_exhaustive():
+    """The in-kernel direct-log2 audit (log2_direct_exceptions) finds at
+    most a tiny correction list on this backend, and the corrected direct
+    engine — crlog2 sequence + the audited compare-adds, exactly as
+    _fused_exact_slots applies them — reproduces the golden Q11 table on
+    ALL 32768 mantissas."""
+    import jax
+    from jax.experimental import pallas as pl
+
+    import pqa2_tpu.ops.pallas_vif_int as pv
+    from pqa2_tpu.golden.log2lut import log2_table
+    from pqa2_tpu.ops.crlog2 import log2_q11_direct
+
+    exc = pv.log2_direct_exceptions(True)
+    assert exc is not None
+    assert len(exc) <= pv._LOG2_DIRECT_MAX_EXC
+
+    def kernel(m_ref, o_ref):
+        u = log2_q11_direct(m_ref[...])
+        for m_e, d_e in exc:
+            u = u + jnp.where(m_ref[...] == np.float32(m_e),
+                              np.float32(d_e), np.float32(0.0))
+        o_ref[...] = u.astype(jnp.int32)
+
+    m_host = (32768.0 + np.arange(32768.0)).reshape(256, 128)
+    got = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((256, 128), jnp.int32),
+        interpret=True,
+    )(jnp.asarray(m_host, jnp.float32))
+    want = log2_table().astype(np.int64)[32768:65536] - 30720
+    np.testing.assert_array_equal(
+        np.asarray(got).reshape(-1).astype(np.int64), want)
+
+
+def test_vif_exact_engines_bit_identical(rng):
+    """Both exact-statistic engines — direct double-f32 table values and
+    the MXU breakpoint fetch — produce features BIT-identical to the XLA
+    twin (and hence to each other) regardless of the backend audit."""
+    import pqa2_tpu.ops.pallas_vif_int as pv
+
+    ref, dist = _pair(rng, 2, 64, 128)
+    want = np.asarray(vif_features_int_batched(
+        ref.astype(jnp.uint32), dist.astype(jnp.uint32)))
+    import jax
+    key = (jax.default_backend(), True)
+    real = pv.log2_direct_exceptions(True)
+    try:
+        for forced in (real, None):
+            pv._LOG2_DIRECT_EXC[key] = forced
+            got = np.asarray(pv.vif_features_int_pallas(ref, dist,
+                                                        exact=True))
+            assert np.array_equal(got, want), (
+                f"engine={'direct' if forced is not None else 'fetch'}")
+    finally:
+        pv._LOG2_DIRECT_EXC[key] = real
