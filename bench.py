@@ -49,9 +49,10 @@ def bench_config(name, model_name, n, h, w, iters=4, log=print, backend=None,
     """One jitted scoring step, timed.
 
     precision="float" is the f32 throughput configuration (fused Pallas
-    kernels). "integer_fast" is the integer-model default (integer moment
-    pipeline + f32-log statistic); "integer" is the bit-faithful exact
-    LUT statistic (gather-free breakpoint fetch), the verification mode.
+    kernels). "integer" is the integer-model DEFAULT (round 4): the
+    bit-faithful exact LUT statistic via the audited direct double-f32
+    engine. "integer_fast" is the opt-in speed mode (integer moments +
+    f32-log statistic, score delta <= 1e-3).
     bit_depth>8 times the native-grid fixed-point schedule (uint16
     uploads, codes scaled to the pipeline's 8-bit scale on device)."""
     import jax
@@ -401,26 +402,27 @@ def bench_full(log):
     results["uhd_fps"] = bench_config(
         "4k vmaf_4k_v0.6.1", "vmaf_4k_v0.6.1", 32, 2160, 3840, log=log)
     try:
+        # The DEFAULT integer path (round 4): bit-faithful exact LUT
+        # statistic via the audited direct double-f32 engine.
         results["uhd_integer_fps"] = bench_config(
-            "4k integer default (fast statistic)", "vmaf_4k_v0.6.1",
-            32, 2160, 3840, log=log, precision="integer_fast")
+            "4k integer default (exact LUT statistic)", "vmaf_4k_v0.6.1",
+            32, 2160, 3840, log=log, precision="integer")
     except Exception as e:
         log(f"[bench] integer-path 4k failed: {e}")
     try:
-        # The exact LUT statistic (verification mode, not the throughput
-        # default) — measured for transparency.
-        results["uhd_integer_exact_fps"] = bench_config(
-            "4k integer exact (LUT statistic)", "vmaf_4k_v0.6.1",
-            16, 2160, 3840, log=log, precision="integer")
+        # Opt-in throughput mode: f32-log statistic (score delta <=1e-3).
+        results["uhd_integer_fast_fps"] = bench_config(
+            "4k integer_fast (opt-in f32-log statistic)", "vmaf_4k_v0.6.1",
+            32, 2160, 3840, log=log, precision="integer_fast")
     except Exception as e:
-        log(f"[bench] integer-exact 4k failed: {e}")
+        log(f"[bench] integer-fast 4k failed: {e}")
 
     try:
         # Native >8-bit grid (round-3): same integer pipeline, widened
         # shifts — the cost of 10-bit over 8-bit should be ~zero.
         results["uhd_integer_10bit_fps"] = bench_config(
             "4k integer 10-bit native grid", "vmaf_4k_v0.6.1",
-            32, 2160, 3840, log=log, precision="integer_fast", bit_depth=10)
+            32, 2160, 3840, log=log, precision="integer", bit_depth=10)
     except Exception as e:
         log(f"[bench] integer 10-bit 4k failed: {e}")
 
@@ -491,10 +493,12 @@ def bench_full(log):
     lad_ref = os.path.join(tmp, "ladder_ref.y4m")
     write_y4m(lad_ref, mk(lad_y))
     entries = []
+    rung_arrays = []
     for rung in LADDER_RUNGS:
         d = impair_clip(lad_y, scale=rung.get("scale", 1.0),
                         blur_sigma=rung.get("blur_sigma", 0.0),
                         jpeg_q=rung.get("jpeg_q", 100))
+        rung_arrays.append(d)
         p = os.path.join(tmp, f"{rung['name']}.y4m")
         write_y4m(p, mk(d))
         entries.append({"reference": lad_ref, "distorted": p,
@@ -504,9 +508,30 @@ def bench_full(log):
     rung_scores = [c["vmaf"] for c in summary["clips"]]
     spread = max(rung_scores) - min(rung_scores)
     monotone = all(a > b for a, b in zip(rung_scores, rung_scores[1:]))
+    # Device-compute context for the E2E aggregate below: the SAME rung
+    # frames pre-staged on device, scored back-to-back through the jitted
+    # pipeline. On a tunneled host the E2E number is H2D-bound (~48 MB/s
+    # link; h2d_mbps recorded alongside) — production PCIe hosts see
+    # something close to this device number, not the tunnel's.
+    import jax.numpy as jnp
+
+    from pqa2_tpu.pipeline.scoring import score_clip
+
+    ref_dev = jnp.asarray(lad_y)
+    rungs_dev = [jnp.asarray(d) for d in rung_arrays]
+    score_clip(ref_dev, rungs_dev[0], model="vmaf_v0.6.1")  # warm/compile
+    t0 = time.perf_counter()
+    for dd in rungs_dev:
+        score_clip(ref_dev, dd, model="vmaf_v0.6.1")
+    dev_wall = time.perf_counter() - t0
     results["ladder"] = {
         "n_clips": summary["n_clips"],
         "aggregate_fps": summary["aggregate_fps"],
+        "aggregate_fps_note": (
+            "end-to-end incl. y4m decode + tunnel H2D — link-bound on "
+            "this host, not device throughput"),
+        "device_aggregate_fps": round(n * len(rungs_dev) / dev_wall, 2),
+        "h2d_mbps": measure_h2d_mbps(),
         "rung_vmaf": [round(v, 2) for v in rung_scores],
         "vmaf_range": [round(min(rung_scores), 2),
                        round(max(rung_scores), 2)],
@@ -545,7 +570,7 @@ def main():
         return
 
     small = platform == "cpu"  # CI/dev fallback; real numbers need the TPU
-    fps_hd = fps_4k = fps_4k_int = None
+    fps_hd = fps_4k = fps_4k_int = fps_4k_int_fast = None
     parity = None
     note = ""
 
@@ -569,7 +594,11 @@ def main():
             "unit": "frames/sec",
             "vs_baseline": round((val or 0.0) / BASELINE_4K_FPS, 2),
             "vmaf_1080p_fps": round(fps_hd, 2) if fps_hd else None,
+            # The integer-model DEFAULT path (bit-faithful exact LUT
+            # statistic since round 4) and the opt-in fast mode.
             "vmaf_4k_integer_fps": round(fps_4k_int, 2) if fps_4k_int else None,
+            "vmaf_4k_integer_fast_fps": (
+                round(fps_4k_int_fast, 2) if fps_4k_int_fast else None),
             "backend": platform,
             "target_fps": 60.0,
             "stage": stage,
@@ -669,11 +698,20 @@ def main():
             log(f"[bench] {note}")
         try:
             fps_4k_int = bench_config(
-                "4k integer path", "vmaf_4k_v0.6.1", n_4k, 2160, 3840,
-                log=log, precision="integer_fast")
+                "4k integer path (default: exact LUT statistic)",
+                "vmaf_4k_v0.6.1", n_4k, 2160, 3840,
+                log=log, precision="integer")
             emit("4k_integer")
         except Exception as e:
             log(f"[bench] integer-path 4k failed: {e}")
+        try:
+            fps_4k_int_fast = bench_config(
+                "4k integer_fast (opt-in f32-log statistic)",
+                "vmaf_4k_v0.6.1", n_4k, 2160, 3840,
+                log=log, precision="integer_fast")
+            emit("4k_integer_fast")
+        except Exception as e:
+            log(f"[bench] integer-fast 4k failed: {e}")
         try:
             parity = parity_check(log)
         except Exception as e:

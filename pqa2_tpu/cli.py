@@ -33,10 +33,10 @@ def _add_score_args(p):
     p.add_argument("--precision", default="auto",
                    choices=["auto", "integer", "integer_fast", "float"],
                    help="feature family: auto follows the model (integer "
-                        "models -> integer_fast, the fixed-point moments "
-                        "with the f32-log statistic); integer selects the "
-                        "exact LUT statistic (bit-faithful verification "
-                        "mode); float forces the f32 kernels")
+                        "models -> integer, the bit-faithful fixed-point "
+                        "path incl. the exact LUT statistic); integer_fast "
+                        "smooths the statistic's logs to f32 (~4%% faster, "
+                        "score delta <=1e-3); float forces the f32 kernels")
     p.add_argument("--no-psnr", action="store_true")
     p.add_argument("--no-ssim", action="store_true")
 

@@ -41,26 +41,28 @@ FEATURE_PRECISION = os.environ.get("PQA2_FEATURE_PRECISION", "auto")
 def resolve_precision(model, setting: Optional[str] = None) -> str:
     """'auto'|'float'|'integer'|'integer_fast' (+ model) -> concrete mode.
 
-    "integer" is the bit-faithful libvmaf fixed-point path including the
-    LUT-quantised log statistic (the family integer models were trained
-    on). "integer_fast" runs the identical integer moment pipeline but
-    smooths the statistic's LUT logs to f32 (~1e-4 pooled feature /
-    <=1e-3 score delta from the exact path, pinned in tests).
+    "integer" — the DEFAULT for integer models since round 4 — is the
+    bit-faithful libvmaf fixed-point path including the LUT-quantised log
+    statistic (the family integer models were trained on): every integer
+    stage is bit-identical to the uint64 oracle, so the shipping scores
+    carry no approximation leg at all. It runs 159 fps at 4K on one chip
+    (2.6x the 60 fps target) since the statistic's table values are
+    computed directly in audited double-f32 arithmetic
+    (ops/crlog2.py + ops/pallas_vif_int.py:log2_direct_exceptions;
+    originally 4 fps as gathers, 64 fps as MXU breakpoint fetches).
 
-    "auto" maps integer models to "integer_fast". The exact statistic's
-    gather-free breakpoint kernels run 64 fps at 4K on one chip (above
-    the 60 fps target; originally 4 fps when the table lookups were
-    gathers), but fast still measures ~1.8x quicker (115 fps) for a
-    score delta bounded at 1e-3 — so fast ships as the default and
-    "integer" (exact) is the verification-grade mode (bench.py
-    parity_check and the bit-equality tests run it on every backend).
+    "integer_fast" runs the identical integer moment pipeline but
+    smooths the statistic's LUT logs to f32 — ~4% faster (167 fps 4K)
+    for a score delta bounded at 1e-3 (pinned in tests); it remains as
+    an opt-in throughput mode.
+
     The choice is uniform across backends so results are reproducible
     between CPU and TPU."""
     p = setting or FEATURE_PRECISION
     if p == "auto":
         if hasattr(model, "models"):  # bootstrap stack
             model = model.models[0]
-        return ("integer_fast"
+        return ("integer"
                 if getattr(model, "uses_integer_features", False) else "float")
     if p not in ("float", "integer", "integer_fast"):
         raise ValueError(f"unknown feature precision {p!r}")
@@ -237,9 +239,18 @@ def model_feature_params(model, precision: Optional[str] = None) -> Dict[str, ob
         model = model.models[0]
     vif_gain = float(model.feature_opt("vif_scale0", "vif_enhn_gain_limit", float("inf")))
     adm_gain = float(model.feature_opt("adm2", "adm_enhn_gain_limit", 100.0))
-    return {
+    out = {
         "vif_gain": vif_gain,
         "adm_gain": adm_gain,
         "vif_variant": "default" if model.uses_integer_features else "classic",
         "precision": resolve_precision(model, precision),
     }
+    if out["precision"] == "integer":
+        # Warm the per-backend direct-log2 audit EAGERLY: the jitted
+        # extraction cannot probe while tracing and would conservatively
+        # fall back to the (slower) breakpoint-fetch engine. Every scorer
+        # builder funnels through here before its first trace.
+        from pqa2_tpu.ops.pallas_vif_int import log2_direct_exceptions
+
+        log2_direct_exceptions()
+    return out

@@ -84,7 +84,7 @@ FIELDS: List[Field] = [
     Field("vmaf", "feature_subsample", "Feature subsample (n_subsample)",
           "int", "Analysis", lo=1, hi=10),
     Field("vmaf", "feature_precision", "Feature precision", "choice",
-          "Analysis", choices=["auto", "integer_fast", "integer", "float"]),
+          "Analysis", choices=["auto", "integer", "integer_fast", "float"]),
     Field("vmaf", "psnr_enabled", "Compute PSNR", "bool", "Analysis"),
     Field("vmaf", "ssim_enabled", "Compute SSIM", "bool", "Analysis"),
     Field("vmaf", "save_json", "Save JSON results", "bool", "Analysis"),

@@ -162,12 +162,13 @@ def test_motion_int_matches_oracle(rng):
 def test_integer_path_is_default_for_integer_models(rng):
     from pqa2_tpu.pipeline.features import model_feature_params
 
-    # Integer models default to the integer moment family with the fast
-    # (f32-log) statistic; the exact LUT statistic is the verification
-    # mode (pipeline/features.py:resolve_precision).
-    assert model_feature_params(get_model("vmaf_v0.6.1"))["precision"] == "integer_fast"
+    # Integer models default to the bit-faithful integer family INCLUDING
+    # the exact LUT statistic (round 4 — the shipping path carries no
+    # approximation leg; pipeline/features.py:resolve_precision).
+    # "integer_fast" (f32-log statistic) remains the opt-in speed mode.
+    assert model_feature_params(get_model("vmaf_v0.6.1"))["precision"] == "integer"
     assert model_feature_params(get_model("vmaf_float_v0.6.1"))["precision"] == "float"
-    assert model_feature_params(get_model("vmaf_b_v0.6.3"))["precision"] == "integer_fast"
+    assert model_feature_params(get_model("vmaf_b_v0.6.3"))["precision"] == "integer"
 
 
 def test_integer_vs_float_score_delta_pinned(rng):
