@@ -121,6 +121,73 @@ def main():
     menus = win.menuBar().actions
     assert len(menus) >= 2, "File/Help menus missing"
 
+    # --- ResultsTab: display -> exports -> history view/delete --------
+    # (reference results_tab.py:2394-2438, 2683-3065, 3081-3696)
+    import json
+
+    rtab = win.results_tab
+    store_dir = os.path.join(rtab.store.base_dir, "GlueTest_20260819_000000")
+    os.makedirs(store_dir, exist_ok=True)
+    frames = [
+        {"frameNum": i,
+         "metrics": {"vmaf": 90.0 + i, "psnr_y": 40.0 + i, "ssim": 0.99}}
+        for i in range(4)
+    ]
+    results = {
+        "test_name": "GlueTest",
+        "vmaf_score": 91.5, "psnr_score": 41.5, "ssim_score": 0.99,
+        "model": "vmaf_v0.6.1",
+        "json_path": os.path.join(store_dir, "GlueTest_vmaf.json"),
+        "reference_video": "ref.y4m", "distorted_video": "cap.y4m",
+        "width": 64, "height": 48, "frame_count": 4,
+        "raw_results": {"frames": frames},
+    }
+    with open(results["json_path"], "w") as f:
+        json.dump({"frames": frames}, f)
+    rtab.display_results(results)
+    assert "91.50" in rtab.vmaf_label.text(), rtab.vmaf_label.text()
+    assert rtab.pdf_btn.isEnabled() and rtab.csv_btn.isEnabled()
+    assert os.path.exists(os.path.join(store_dir, "metadata.json"))
+    assert rtab.history_list.count() >= 1, "history should list the test"
+
+    # CSV export through the real dialog flow
+    csv_path = os.path.join(tmp, "frames.csv")
+    QFileDialog._next_paths.append(csv_path)
+    rtab.csv_btn.clicked.emit()
+    assert os.path.exists(csv_path), "per-frame CSV not written"
+    assert "vmaf" in open(csv_path).read()
+
+    # PDF export runs on the real ReportGeneratorThread
+    pdf_path = os.path.join(tmp, "report.pdf")
+    QFileDialog._next_paths.append(pdf_path)
+    rtab.pdf_btn.clicked.emit()
+    if rtab._report_thread is not None:
+        rtab._report_thread.join(timeout=120)
+    assert os.path.exists(pdf_path), "PDF report not written"
+
+    # history: view re-displays, combined CSV, delete empties
+    rtab.vmaf_label.setText("VMAF: -")
+    rtab.history_list.setCurrentRow(0)
+    rtab.view_selected()
+    assert "91.50" in rtab.vmaf_label.text(), "view did not re-display"
+    combined = os.path.join(tmp, "combined.csv")
+    QFileDialog._next_paths.append(combined)
+    rtab.export_combined_csv()
+    assert "GlueTest" in open(combined).read()
+    rtab.history_list.setCurrentRow(0)
+    rtab.delete_selected()
+    assert not os.path.isdir(store_dir), "delete left the result dir"
+    assert rtab.history_list.count() == 0
+
+    # --- theme switch: ThemeManager over live settings_updated --------
+    from pqa2_tpu.ui.theme_manager import ThemeManager
+
+    win.theme_manager = ThemeManager(app, options)
+    for theme in ("Dark", "Light", "Custom", "System"):
+        options.update_setting("branding", "selected_theme", theme)
+        win.theme_manager.apply_current_theme()
+    options.flush()
+
     # --- start_new_test resets back to Setup -------------------------
     win.start_new_test()
     assert win.tabs.currentIndex() == 0
@@ -128,7 +195,8 @@ def main():
 
     # --- close-time cleanup path -------------------------------------
     win.close()
-    print("qt glue OK: 6 tabs, wizard nav, handoff, reset, close")
+    print("qt glue OK: 6 tabs, wizard nav, handoff, results tab "
+          "(display/exports/history), themes, reset, close")
 
 
 if __name__ == "__main__":

@@ -663,6 +663,13 @@ class QApplication(QObject):
     def setPalette(self, p):
         self._palette = p
 
+    def style(self):
+        class _Style:
+            def standardPalette(self):
+                return QPalette()
+
+        return _Style()
+
     def setStyleSheet(self, s):
         self._stylesheet = s
 
