@@ -231,6 +231,17 @@ def _mul_split(a: jnp.ndarray, b: jnp.ndarray):
     return hi, lo2
 
 
+def _mul_16x32(q: jnp.ndarray, d: jnp.ndarray):
+    """Exact u32 x u32 -> (hi, lo) for q <= 2^16: two multiplies instead
+    of _mul_split's four (q*dl and q*dh both stay under 2^32)."""
+    lo_part = q * (d & _MASK16)
+    mid = q * (d >> 16)
+    lo = lo_part + ((mid & _MASK16) << 16)
+    carry = (lo < lo_part).astype(_U32)
+    hi = (mid >> 16) + carry
+    return hi, lo
+
+
 def _u32_f32(v: jnp.ndarray) -> jnp.ndarray:
     """u32 -> f32, Mosaic-safe (no direct u32<->f32 convert on TPU).
 
@@ -264,8 +275,16 @@ def _div_u64_u32(p_hi: jnp.ndarray, p_lo: jnp.ndarray, d: jnp.ndarray):
     remainder check and a bounded +-1 fixup. Returns (q_hi, q_lo, r) —
     quotient as a u32 pair (it can exceed 32 bits when p ~ 2^62 and
     d ~ 2^17) and the final remainder r < d.
+
+    The division is hoisted to ONE reciprocal per element (the four
+    per-digit divides become multiplies): the estimate's relative error
+    grows to a few ulp, i.e. < 0.05 absolute on a < 2^16 digit — still
+    far inside the +-1 fixup's budget, and the fixup is exact-integer,
+    so correctness is independent of how sloppy the backend's f32
+    divide/rcp is (Mosaic, XLA:TPU and XLA:CPU all verified).
     """
     df = _u32_f32(d)
+    rdf = jnp.float32(1.0) / df
     limbs = [p_hi >> 16, p_hi & _MASK16, p_lo >> 16, p_lo & _MASK16]
     rem_hi = jnp.zeros_like(d)
     rem_lo = jnp.zeros_like(d)
@@ -276,12 +295,12 @@ def _div_u64_u32(p_hi: jnp.ndarray, p_lo: jnp.ndarray, d: jnp.ndarray):
         rem_hi = (rem_hi << 16) | (rem_lo >> 16)
         rem_lo = ((rem_lo & _MASK16) << 16) | limb
         remf = _u32_f32(rem_hi) * jnp.float32(2.0**32) + _u32_f32(rem_lo)
-        q = jnp.floor(remf / df)
+        q = jnp.floor(remf * rdf)
         q = _f32_u32(jnp.clip(q, 0.0, 65536.0))
         # exact fixup: rem2 = rem - q*d, then the bounded +-1 adjustments
-        # (the f32 estimate's absolute error is (rem/d)*~1.2e-7 < 0.01 for
-        # digits < 2^16, so only the floor boundary can put it off by one)
-        qd_hi, qd_lo = _mul_split(q, d)
+        # (the hoisted-reciprocal estimate is off by < 0.05 absolute on a
+        # < 2^16 digit, so only the floor boundary can put it off by one)
+        qd_hi, qd_lo = _mul_16x32(q, d)
         r_hi, r_lo, borrow = _pair_sub(rem_hi, rem_lo, qd_hi, qd_lo)
         over = borrow > 0  # q one too big
         q = jnp.where(over, q - 1, q)
