@@ -322,17 +322,23 @@ def _div_u64_u32(p_hi: jnp.ndarray, p_lo: jnp.ndarray, d: jnp.ndarray):
 
 
 def _bitlen32(v: jnp.ndarray) -> jnp.ndarray:
-    """Exact bit length of u32 (0 -> 0) — branchless shift cascade.
+    """Exact bit length of u32 (0 -> 0) via the f32 exponent field.
 
     Used instead of jax.lax.clz so the identical code also lowers inside
-    Mosaic kernels (ops/pallas_vif_int.py fused exact statistic)."""
+    Mosaic kernels (ops/pallas_vif_int.py fused exact statistic).
+
+    t = v >> 1 is i32-convert-safe; its f32 exponent gives the candidate
+    bit length directly. Round-to-nearest can only push t's mantissa UP
+    across a power-of-two boundary (overstating by exactly 1), so one
+    exact integer compare fixes the result for every input — 4x fewer
+    VPU ops than the former 5-round shift cascade."""
     v = v.astype(_U32)
-    n = jnp.zeros(v.shape, jnp.int32)
-    for step in (16, 8, 4, 2, 1):
-        over = v >= (_U32(1) << np.uint32(step))
-        v = jnp.where(over, v >> np.uint32(step), v)
-        n = n + jnp.where(over, step, 0)
-    return n + (v > 0).astype(jnp.int32)
+    t = (v >> 1).astype(jnp.int32)  # < 2^31
+    tf = t.astype(jnp.float32)
+    e = (jax.lax.bitcast_convert_type(tf, jnp.int32) >> 23) - 126
+    over = t.astype(_U32) < (_U32(1) << jnp.clip(e - 1, 0, 31).astype(_U32))
+    bl_t = e - over.astype(jnp.int32)
+    return jnp.where(v == 0, 0, jnp.where(t == 0, 1, bl_t + 1))
 
 
 def _norm16_pair(v_hi: jnp.ndarray, v_lo: jnp.ndarray):
