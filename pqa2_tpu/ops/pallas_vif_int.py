@@ -507,11 +507,37 @@ def _make_int_kernel(taps: np.ndarray, tile_h: int, tile_w: int,
         d = vmem[slot, 1, :rows, :]
 
         # -- exact uint32 separable convs (ops/vif_int.py Q-schedule) -----
+        # All VIF/motion taps are SYMMETRIC (golden/fixedpoint.py), so each
+        # pass folds mirror slices before multiplying: c*(x_i + x_j) equals
+        # c*x_i + c*x_j exactly in mod-2^32 u32 arithmetic, and the
+        # accumulated totals are the SAME integers as the unfolded loop
+        # (tap-sum 2^16 bounds every true total below 2^32), so every
+        # downstream value is bit-identical to the XLA twin while the
+        # multiply count halves (17 -> 9 at scale 0).
+        def _fold_plan(taps_l):
+            k = len(taps_l)
+            if all(taps_l[i] == taps_l[k - 1 - i] for i in range(k)):
+                return [(i, k - 1 - i) for i in range(k // 2)], (
+                    k // 2 if k % 2 else None)
+            return None, None
+
         def col_direct(x, taps_l, shift, off=0):
-            acc = None
-            for i, c in enumerate(taps_l):
-                term = u32(c) * x[off + i : off + i + tile_h, :]
-                acc = term if acc is None else acc + term
+            pairs, center = _fold_plan(taps_l)
+            if pairs is None:
+                acc = None
+                for i, c in enumerate(taps_l):
+                    term = u32(c) * x[off + i : off + i + tile_h, :]
+                    acc = term if acc is None else acc + term
+            else:
+                acc = None
+                for i, j in pairs:
+                    s_ = (x[off + i : off + i + tile_h, :]
+                          + x[off + j : off + j + tile_h, :])
+                    term = u32(taps_l[i]) * s_
+                    acc = term if acc is None else acc + term
+                if center is not None:
+                    acc = acc + u32(taps_l[center]) * x[
+                        off + center : off + center + tile_h, :]
             if shift:
                 acc = (acc + u32(1 << (shift - 1))) >> shift
             return acc
@@ -526,22 +552,48 @@ def _make_int_kernel(taps: np.ndarray, tile_h: int, tile_w: int,
         # (slices yield exactly tile_w outputs — sublane = frame column).
         def rowT_direct(x, taps_l, shift, off=0):
             xT = x.T  # (twp, tile_h)
-            acc = None
-            for i, c in enumerate(taps_l):
-                s_ = off + i
-                term = u32(c) * xT[s_ : s_ + tile_w, :]
-                acc = term if acc is None else acc + term
+            pairs, center = _fold_plan(taps_l)
+            if pairs is None:
+                acc = None
+                for i, c in enumerate(taps_l):
+                    s_ = off + i
+                    term = u32(c) * xT[s_ : s_ + tile_w, :]
+                    acc = term if acc is None else acc + term
+            else:
+                acc = None
+                for i, j in pairs:
+                    s_ = (xT[off + i : off + i + tile_w, :]
+                          + xT[off + j : off + j + tile_w, :])
+                    term = u32(taps_l[i]) * s_
+                    acc = term if acc is None else acc + term
+                if center is not None:
+                    acc = acc + u32(taps_l[center]) * xT[
+                        off + center : off + center + tile_w, :]
             if shift:
                 acc = (acc + u32(1 << (shift - 1))) >> shift
             return acc
 
+        # Split variants pre-split the padded plane ONCE (slice-of-shift ==
+        # shift-of-slice) instead of shifting/masking every tap slice.
         def col_split(x, taps_l, shift=16):
             mask = u32((1 << shift) - 1)
+            xh, xl = x >> shift, x & mask
+            pairs, center = _fold_plan(taps_l)
             hi = lo = None
-            for i, c in enumerate(taps_l):
-                s = x[i : i + tile_h, :]
-                thi = u32(c) * (s >> shift)
-                tlo = u32(c) * (s & mask)
+            if pairs is None:
+                idx = [(i, None) for i in range(len(taps_l))]
+            else:
+                idx = pairs + ([(center, None)] if center is not None
+                               else [])
+            for i, j in idx:
+                c = u32(taps_l[i])
+                sh = xh[i : i + tile_h, :]
+                sl = xl[i : i + tile_h, :]
+                if j is not None:
+                    sh = sh + xh[j : j + tile_h, :]
+                    sl = sl + xl[j : j + tile_h, :]
+                thi = c * sh
+                tlo = c * sl
                 hi = thi if hi is None else hi + thi
                 lo = tlo if lo is None else lo + tlo
             return hi + ((lo + u32(1 << (shift - 1))) >> shift)
@@ -549,11 +601,23 @@ def _make_int_kernel(taps: np.ndarray, tile_h: int, tile_w: int,
         def rowT_split(x, taps_l, shift=16):
             xT = x.T  # (twp, tile_h)
             mask = u32((1 << shift) - 1)
+            xh, xl = xT >> shift, xT & mask
+            pairs, center = _fold_plan(taps_l)
             hi = lo = None
-            for i, c in enumerate(taps_l):
-                s = xT[i : i + tile_w, :]
-                thi = u32(c) * (s >> shift)
-                tlo = u32(c) * (s & mask)
+            if pairs is None:
+                idx = [(i, None) for i in range(len(taps_l))]
+            else:
+                idx = pairs + ([(center, None)] if center is not None
+                               else [])
+            for i, j in idx:
+                c = u32(taps_l[i])
+                sh = xh[i : i + tile_w, :]
+                sl = xl[i : i + tile_w, :]
+                if j is not None:
+                    sh = sh + xh[j : j + tile_w, :]
+                    sl = sl + xl[j : j + tile_w, :]
+                thi = c * sh
+                tlo = c * sl
                 hi = thi if hi is None else hi + thi
                 lo = tlo if lo is None else lo + tlo
             return hi + ((lo + u32(1 << (shift - 1))) >> shift)
