@@ -19,9 +19,10 @@ C round() for positive x).
 Method: Dekker/Knuth double-f32 (no FMA, no tables):
 
     r  = m * 2^-15                   exact (power-of-two scale)
-    s  = (r-1)/(r+1) as a hi+lo pair (exact numerator by Sterbenz; the
-                                      denominator pair from Fast2Sum; one
-                                      correction quotient)
+    s  = (r-1)/(r+1) as a hi+lo pair (numerator exact by Sterbenz; r+1
+                                      itself exact — a 17-bit integer on
+                                      the 2^-15 grid; one reciprocal, a
+                                      Dekker residual, one correction)
     log2(r) = (2/ln2) * (s + s^3/3 + s^5/5 + ...)
        - s^2 as a pair (two_prod); the s^2/3 and (s^2)^2/5 terms in pair
          arithmetic; s^7/7 .. s^15/15 in plain f32 (magnitude <= 2^-18)
@@ -67,17 +68,36 @@ _C15 = _F(1.0 / 15.0)
 _SPLITTER = _F(4097.0)  # 2^12 + 1 (Dekker split for f32)
 
 
+def _split(a):
+    """Veltkamp split a = ah + al (ah: top 12 mantissa bits)."""
+    ca = a * _SPLITTER
+    ah = ca - (ca - a)
+    return ah, a - ah
+
+
 def _two_prod(a, b):
     """Exact a*b = p + e (Dekker/Veltkamp, FMA-free, pure IEEE f32)."""
     p = a * b
-    ca = a * _SPLITTER
-    ah = ca - (ca - a)
-    al = a - ah
-    cb = b * _SPLITTER
-    bh = cb - (cb - b)
-    bl = b - bh
+    ah, al = _split(a)
+    bh, bl = _split(b)
     e = ((ah * bh - p) + ah * bl + al * bh) + al * bl
     return p, e
+
+
+def _two_prod_ps(a, ah, al, b, bh, bl):
+    """Exact a*b = p + e with both operands PRE-SPLIT — lets callers cache
+    a value's split across several products and fold constant splits to
+    trace time (the error expression is Dekker's, unchanged)."""
+    p = a * b
+    e = ((ah * bh - p) + ah * bl + al * bh) + al * bl
+    return p, e
+
+
+# Trace-time Veltkamp splits of the constant product operands.
+_npsplit = lambda c: _split(np.float32(c))
+_C_HI_H, _C_HI_L = _npsplit(_C_HI)
+_F3_HI_H, _F3_HI_L = _npsplit(_F3_HI)
+_F5_HI_H, _F5_HI_L = _npsplit(_F5_HI)
 
 
 def _fast2sum(a, b):
@@ -99,13 +119,26 @@ def log2_q11_direct(m):
     one = _F(1.0)
     r = m * _F(2.0 ** -15)  # exact
     n = r - one  # exact (Sterbenz: r in [1, 2))
-    dh, dl = _fast2sum(r, one)  # r + 1 exactly as a pair
-    q1 = n / dh
-    p, pe = _two_prod(q1, dh)
-    e = ((n - p) - pe) - q1 * dl
-    q2 = e / dh  # s = q1 + q2, rel err ~2^-45
+    # r + 1 is EXACT in one f32: r = (m)*2^-15 with m < 2^16, so r + 1 =
+    # (m + 2^15)*2^-15 is a 17-bit integer on the 2^-15 grid — well inside
+    # f32's 24 bits. No pair needed (the former dl was identically 0).
+    dh = r + one
+    # ONE reciprocal instead of two divides: q1 = n*rdh is only
+    # faithful-ish (a couple ulp), but the Dekker residual below measures
+    # n - q1*dh EXACTLY (p within Sterbenz range of n), so q2 absorbs the
+    # estimate's looseness; the q2 = e*rdh rounding sits at ~2^-45 of s.
+    # Exactness is not analytic anyway: the exhaustive audits
+    # (tests/test_log2lut.py, log2_direct_exceptions) re-verify every
+    # mantissa per backend — numpy IEEE: 0 exceptions for this sequence.
+    rdh = one / dh
+    q1 = n * rdh
+    q1h, q1l = _split(q1)
+    dhh, dhl = _split(dh)
+    p, pe = _two_prod_ps(q1, q1h, q1l, dh, dhh, dhl)
+    e = (n - p) - pe
+    q2 = e * rdh  # s = q1 + q2
 
-    zh, ze = _two_prod(q1, q1)
+    zh, ze = _two_prod_ps(q1, q1h, q1l, q1, q1h, q1l)
     zl = ze + _F(2.0) * (q1 * q2)  # s^2 as a pair
     z = zh + zl
 
@@ -114,12 +147,14 @@ def log2_q11_direct(m):
         _C7 + z * (_C9 + z * (_C11 + z * (_C13 + z * _C15)))
     )
     # (s^2)^2 / 5 in pair arithmetic.
-    z2h, z2e = _two_prod(zh, zh)
+    zhh, zhl = _split(zh)
+    z2h, z2e = _two_prod_ps(zh, zhh, zhl, zh, zhh, zhl)
     z2l = z2e + _F(2.0) * (zh * zl)
-    t2h, t2e = _two_prod(z2h, _F5_HI)
+    z2hh, z2hl = _split(z2h)
+    t2h, t2e = _two_prod_ps(z2h, z2hh, z2hl, _F5_HI, _F5_HI_H, _F5_HI_L)
     t2l = t2e + (z2h * _F5_LO + z2l * _F5_HI)
     # s^2 / 3 in pair arithmetic.
-    t1h, t1e = _two_prod(zh, _F3_HI)
+    t1h, t1e = _two_prod_ps(zh, zhh, zhl, _F3_HI, _F3_HI_H, _F3_HI_L)
     t1l = t1e + (zh * _F3_LO + zl * _F3_HI)
     # tau = t1 + t2 + t3 (descending magnitudes).
     th, te = _fast2sum(t1h, t2h)
@@ -127,7 +162,8 @@ def log2_q11_direct(m):
     th, te = _fast2sum(th, tl)
     tl = te
     # w = s * tau.
-    wh, we = _two_prod(q1, th)
+    thh2, thl2 = _split(th)
+    wh, we = _two_prod_ps(q1, q1h, q1l, th, thh2, thl2)
     wl = we + (q1 * tl + q2 * th)
     # S = s + w.
     sh, se = _fast2sum(q1, wh)
@@ -135,7 +171,8 @@ def log2_q11_direct(m):
     sh, se = _fast2sum(sh, sl)
     sl = se
     # g = (2/ln2) * S;  y = 15 + g.
-    gh, ge = _two_prod(sh, _C_HI)
+    shh, shl = _split(sh)
+    gh, ge = _two_prod_ps(sh, shh, shl, _C_HI, _C_HI_H, _C_HI_L)
     gl = ge + (sh * _C_LO + sl * _C_HI)
     yh, ye = _fast2sum(_F(15.0), gh)
     yl = ye + gl

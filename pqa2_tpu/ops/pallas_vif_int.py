@@ -216,6 +216,37 @@ def _bp_planes() -> jnp.ndarray:
     return jnp.asarray(_BP_PLANES, dtype=jnp.bfloat16)
 
 
+def _pieces3(s):  # i32 (signed-safe): s = p2*2^24 + p1*2^12 + p0
+    f32 = jnp.float32
+    return [
+        (s >> 24).astype(f32),
+        ((s >> 12) & 4095).astype(f32),
+        (s & 4095).astype(f32),
+    ]
+
+
+def _pieces2(s):  # i32 in [0, 2^24)
+    f32 = jnp.float32
+    return [(s >> 12).astype(f32), (s & 4095).astype(f32)]
+
+
+def _split_sum(vals, rows):
+    """u32 values < 2^16 over the tile -> 12-bit pieces of the exact
+    total (the total can reach 2^31.3: reduce halves in i32, combine
+    in u32 — Mosaic has no u32 reduction or u32<->f32 casts)."""
+    i32 = jnp.int32
+    f32 = jnp.float32
+    half = rows // 2
+    a = jnp.sum(vals[:half].astype(i32))
+    b = jnp.sum(vals[half:].astype(i32))
+    tot = a.astype(jnp.uint32) + b.astype(jnp.uint32)
+    return [
+        (tot >> 24).astype(i32).astype(f32),
+        ((tot >> 12) & jnp.uint32(4095)).astype(i32).astype(f32),
+        (tot & jnp.uint32(4095)).astype(i32).astype(f32),
+    ]
+
+
 def _fused_exact_slots(s1, s2, s12, gain_limit, valid, tile_w, planes,
                        direct_exc=None):
     """Exact LUT statistic fully inside the kernel.
@@ -262,6 +293,46 @@ def _fused_exact_slots(s1, s2, s12, gain_limit, valid, tile_w, planes,
     zero = i32(0)
     nlan = rows * tw
 
+    if direct_exc is not None:
+        # Direct engine: the lookup is PURE ELEMENTWISE VPU work, so run
+        # it on the native (rows, tw) tile layout at full vreg occupancy.
+        # (The (1, nlan) flat streams below exist for the MXU fetch
+        # engine's one-hot matmul columns; a (1, N) vector leaves 7/8 of
+        # every (8, 128) vreg idle, which made the double-f32 evaluation
+        # look ~8x more expensive than its op count.)
+        from pqa2_tpu.ops.crlog2 import log2_q11_direct
+
+        def u2d(mu):  # u32 mantissas (rows, twp) -> exact u values (i32)
+            mf = mu[:, :tw].astype(i32).astype(f32)
+            u = log2_q11_direct(mf)
+            for m_e, d_e in direct_exc:
+                u = u + jnp.where(mf == np.float32(m_e),
+                                  f32(d_e), f32(0.0))
+            return jnp.clip(u, 0.0, 2048.0).astype(i32)
+
+        # Same i32 soundness as the flat path: |u1-u2| <= 2048 and
+        # u <= 2048 over <= 65536 lanes keep both totals under 2^27.
+        u1, u2_, udn = u2d(m1), u2d(m2), u2d(m_den)
+        num_tab_s = jnp.sum(
+            jnp.where(nbv[:, :tw], u1 - u2_, zero))
+        den_tab_s = jnp.sum(jnp.where(lbv[:, :tw], udn, zero))
+
+        num_k_s = jnp.sum(jnp.where(nbv, num_k, zero))
+        den_k_s = jnp.sum(jnp.where(lbv, k_den, zero))
+        n_log_s = jnp.sum(lbv.astype(i32))
+
+        s2mv = jnp.where(valid, s2m, jnp.uint32(0))
+        vals = (
+            _pieces3(num_tab_s)
+            + _pieces3(den_tab_s)
+            + _pieces2(num_k_s)
+            + _pieces2(den_k_s)
+            + [n_log_s.astype(f32)]
+            + _split_sum(s2mv >> 16, rows)
+            + _split_sum(s2mv & jnp.uint32(0xFFFF), rows)
+        )
+        return [(4 + i, v) for i, v in enumerate(vals)]
+
     # Mosaic lowers jnp.reshape (rows, tw) -> (1, rows*tw) value-exactly
     # (lane dim a 128-multiple; verified per-value on silicon), so the
     # three mantissa planes and their branch masks flatten to lane
@@ -279,23 +350,10 @@ def _fused_exact_slots(s1, s2, s12, gain_limit, valid, tile_w, planes,
 
     def fetch2(mfa, mfb):
         """Paired lookups: exact OFFSET table values u = t[m] - 30720
-        (i32 in [0, 2048]) for two mantissa streams.
-
-        direct: ops/crlog2.py per stream (+ audited per-backend
-        exception compare-adds) — no table data touched.
-        fallback: ONE streamed MXU pass (the _bp_planes block-diag pack)
-        corrects the +-1-safe f32 log2 candidate."""
-        if direct_exc is not None:
-            from pqa2_tpu.ops.crlog2 import log2_q11_direct
-
-            def u_one(mf):
-                u = log2_q11_direct(mf)
-                for m_e, d_e in direct_exc:
-                    u = u + jnp.where(mf == np.float32(m_e),
-                                      f32(d_e), f32(0.0))
-                return jnp.clip(u, 0.0, 2048.0).astype(i32)
-
-            return [u_one(mfa), u_one(mfb)]
+        (i32 in [0, 2048]) for two mantissa streams, via ONE streamed MXU
+        pass (the _bp_planes block-diag pack) correcting the +-1-safe f32
+        log2 candidate. (The direct engine returned above — it never
+        reaches these flat streams.)"""
         wc = mfa.shape[1]
         mf = jnp.concatenate([mfa, mfb], axis=0)  # (2, wc)
         # One-fetch floor form (see _bp_planes): f in {u-1, u} exactly.
@@ -361,39 +419,15 @@ def _fused_exact_slots(s1, s2, s12, gain_limit, valid, tile_w, planes,
     den_k_s = jnp.sum(jnp.where(lbv, k_den, zero))
     n_log_s = jnp.sum(lbv.astype(i32))
 
-    def pieces3(s):  # i32 (signed-safe): s = p2*2^24 + p1*2^12 + p0
-        return [
-            (s >> 24).astype(f32),
-            ((s >> 12) & 4095).astype(f32),
-            (s & 4095).astype(f32),
-        ]
-
-    def pieces2(s):  # i32 in [0, 2^24)
-        return [(s >> 12).astype(f32), (s & 4095).astype(f32)]
-
-    def split_sum(vals):
-        """u32 values < 2^16 over the tile -> 12-bit pieces of the exact
-        total (the total can reach 2^31.3: reduce halves in i32, combine
-        in u32 — Mosaic has no u32 reduction or u32<->f32 casts)."""
-        half = rows // 2
-        a = jnp.sum(vals[:half].astype(i32))
-        b = jnp.sum(vals[half:].astype(i32))
-        tot = a.astype(jnp.uint32) + b.astype(jnp.uint32)
-        return [
-            (tot >> 24).astype(i32).astype(f32),
-            ((tot >> 12) & jnp.uint32(4095)).astype(i32).astype(f32),
-            (tot & jnp.uint32(4095)).astype(i32).astype(f32),
-        ]
-
     s2mv = jnp.where(valid, s2m, jnp.uint32(0))
     vals = (
-        pieces3(num_tab_s)
-        + pieces3(den_tab_s)
-        + pieces2(num_k_s)
-        + pieces2(den_k_s)
+        _pieces3(num_tab_s)
+        + _pieces3(den_tab_s)
+        + _pieces2(num_k_s)
+        + _pieces2(den_k_s)
         + [n_log_s.astype(f32)]
-        + split_sum(s2mv >> 16)
-        + split_sum(s2mv & jnp.uint32(0xFFFF))
+        + _split_sum(s2mv >> 16, rows)
+        + _split_sum(s2mv & jnp.uint32(0xFFFF), rows)
     )
     return [(4 + i, v) for i, v in enumerate(vals)]
 
@@ -714,17 +748,30 @@ def _make_int_kernel(taps: np.ndarray, tile_h: int, tile_w: int,
             s12_out[0] = s12.T
             num_s = den_s = jnp.float32(0.0)
         elif exact_fused:
-            # The flat-accumulator statistic needs 128-multiple lane dims
-            # for its value-exact reshape; restore standard layout (three
-            # small transposes, exact data movement).
-            colv = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1)
-            rowv = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0)
-            valid_std = (colv + j * tile_w < w) & (rowv + t * tile_h < h)
-            exact_slots = _fused_exact_slots(
-                s1.T, s2.T, s12.T, gain_limit, valid_std, tile_w,
-                None if exact_direct_exc is not None else bp_ref[...],
-                direct_exc=exact_direct_exc,
-            )
+            if _ABLATE == "nostat":  # timing-only: statistic scaffolding
+                exact_slots = [(4 + i, jnp.float32(0.0)) for i in range(17)]
+            elif exact_direct_exc is not None:
+                # Direct engine: elementwise + whole-tile sums only, so it
+                # is layout-agnostic — run it straight on the kernel's
+                # transposed planes (sublane = frame column), no
+                # restore-layout transposes.
+                exact_slots = _fused_exact_slots(
+                    s1, s2, s12, gain_limit, valid, s1.shape[1],
+                    None, direct_exc=exact_direct_exc,
+                )
+            else:
+                # The MXU fetch statistic needs 128-multiple lane dims for
+                # its value-exact flat reshape; restore standard layout
+                # (three small transposes, exact data movement).
+                colv = jax.lax.broadcasted_iota(
+                    jnp.int32, (tile_h, tile_w), 1)
+                rowv = jax.lax.broadcasted_iota(
+                    jnp.int32, (tile_h, tile_w), 0)
+                valid_std = (colv + j * tile_w < w) & (rowv + t * tile_h < h)
+                exact_slots = _fused_exact_slots(
+                    s1.T, s2.T, s12.T, gain_limit, valid_std, tile_w,
+                    bp_ref[...], direct_exc=None,
+                )
             num_s = den_s = jnp.float32(0.0)
         else:
             num, den = _statistic_int(s1, s2, s12, gain_limit)
