@@ -1,29 +1,40 @@
 """Integer fixed-point ADM2 — oracle.
 
-Emulates the fixed-point front half of libvmaf's
-``VMAF_integer_feature_adm2`` extractor — the stages where quantisation is
-actually measurable — and evaluates the smooth tail in float on the
-integer-valued bands:
+Emulates libvmaf's ``VMAF_integer_feature_adm2`` extractor architecture in
+fixed point END TO END — every band-domain stage is deterministic integer
+arithmetic with a pinned rounding placement (bit-for-bit identical in
+ops/adm_int.py and ops/pallas_adm_int.py):
 
-  integer (exact, pinned bit-for-bit by ops/adm_int.py):
-    * 4-level db2 DWT with Q15 taps (golden/fixedpoint.py:DB2_LO_Q15),
-      symmetric borders, (acc + 2^14) >> 15 rounding per 1-D pass.
-      Band Q-schedule ADM_BAND_Q = (4,4,4,3): pixels enter at Q4 and level
-      3's row pass drops one bit, keeping every accumulation
-      sum(|q15 tap|) * |value| < 2^31.
-    * decoupling: k = trunc((|t| << 15) / |o|) clipped to [0, 32768] (0 when
-      signs differ or o == 0), restoration r = sign(o) * ((k*|o| + 2^14)
-      >> 15), additive = t - r.  The < 1-degree angle test runs on the
-      integer bands in float (its products need 64+ bits; boundary flips are
-      measure-zero).
+  * 4-level db2 DWT with Q15 taps (golden/fixedpoint.py:DB2_LO_Q15),
+    symmetric borders, (acc + 2^14) >> 15 rounding per 1-D pass.
+    Band Q-schedule ADM_BAND_Q = (4,4,4,3): pixels enter at Q4 and level
+    3's row pass drops one bit, keeping every accumulation
+    sum(|q15 tap|) * |value| < 2^31.
+  * decoupling: k = trunc((|t| << 15) / |o|) clipped to [0, 32768] (0 when
+    signs differ or o == 0), restoration r = sign(o) * ((k*|o| + 2^14)
+    >> 15), additive = t - r.  The < 1-degree angle test runs on the
+    integer bands in float (its products need 64+ bits; boundary flips are
+    measure-zero).
+  * CSF: icsf = (band * IRF + 2^12) >> 13 with the per-level fixed-point
+    rfactors IRF (golden/fixedpoint.py:ADM_TAIL_TABLES — round(rfactor *
+    2^e), shared e per level so the three bands stay on one scale).
+  * contrast masking: thr = trunc(S / 30) where S is the 3x3
+    centre-doubled sum of |icsf(additive)| over the three bands (exact in
+    int32: S < 30 * 2^18); masked = max(|icsf(rst)| - thr, 0). Because
+    icsf(rst) and |icsf(o)| share one cube domain, ref == dist still gives
+    adm2 == 1 exactly.
+  * pooling: v = (x + 2^(D-1)) >> D into the cube domain (D =
+    adm_cube_shift(core px): <= 2^14 so the cube sum over the 10 %
+    border-trimmed core is an exact uint64); per (level, band) the pooled
+    value is cbrt_f32(f32(sum)) * 2^(D - F_level) + cbrt(n/32), with the
+    f32 conversion following the pinned digits4_to_f32 chain and the
+    power-of-two scale exact. adm2 = (num + eps) / (den + eps) in f32,
+    eps = 1e-10 * (w*h)/(1920*1080).
 
-  float tail (identical formulas to golden/adm.py): Watson CSF, contrast
-  masking (3x3, centre doubled, /30), cube-sum pooling with the n/32
-  stabiliser, eps = 1e-10 * (w*h)/(1920*1080).
-
-libvmaf runs the tail in fixed point too (for SIMD speed, with rounding
-designed to be negligible); that residual is not modelled here — see
-docs/CALIBRATION.md.
+libvmaf's own integer_adm follows the same schedule shape (fixed-point
+rfactors, integer masking, uint64 cube accumulation, float cbrt); its exact
+shift placements cannot be cross-checked without a binary in this
+environment — see docs/CALIBRATION.md.
 """
 
 from __future__ import annotations
@@ -32,15 +43,17 @@ from typing import Dict, List, Tuple
 
 import numpy as np
 
-from pqa2_tpu.golden.adm import (
-    COS_1DEG_SQ,
-    NUM_LEVELS,
-    apply_csf,
-    cm_threshold,
-    sum_cube,
-)
+from pqa2_tpu.golden.adm import COS_1DEG_SQ, NUM_LEVELS
 from pqa2_tpu.golden.filters import symmetric_index
-from pqa2_tpu.golden.fixedpoint import ADM_BAND_Q, DB2_HI_Q15, DB2_LO_Q15
+from pqa2_tpu.golden.fixedpoint import (
+    ADM_BAND_Q,
+    ADM_CSF_SHIFT,
+    ADM_TAIL_TABLES,
+    DB2_HI_Q15,
+    DB2_LO_Q15,
+    adm_cube_shift,
+    digits4_to_f32,
+)
 
 _I64 = np.int64
 
@@ -182,34 +195,116 @@ def exact_angle_flags(
     return out.reshape(o["h"].shape)
 
 
+def _icsf(band: np.ndarray, irf: int) -> np.ndarray:
+    """Fixed-point CSF: (band * IRF + 2^12) >> 13, signed, |.| < 2^18."""
+    return (band * _I64(irf) + _I64(1 << (ADM_CSF_SHIFT - 1))) >> _I64(
+        ADM_CSF_SHIFT)
+
+
+def _cm_thr_int(icsf_a: Dict[str, np.ndarray]) -> np.ndarray:
+    """Integer masking threshold: trunc(S / 30) with S the 3x3 sum (centre
+    doubled) of |icsf(additive)| over the three bands, symmetric borders.
+    S < 30 * 2^18 < 2^23, so the division is the only rounding and it is
+    exact truncation (S >= 0)."""
+    total = None
+    for band in ("h", "v", "d"):
+        x = np.abs(icsf_a[band])
+        p = np.pad(x, 1, mode="symmetric")
+        s = sum(
+            p[1 + di : 1 + di + x.shape[0], 1 + dj : 1 + dj + x.shape[1]]
+            for di in (-1, 0, 1)
+            for dj in (-1, 0, 1)
+        )
+        s = s + x  # centre counted twice
+        total = s if total is None else total + s
+    return total // _I64(30)
+
+
+def _trim(w: int) -> int:
+    return max(int(w * 0.1 - 0.5), 0)
+
+
+def _cube_digits(x: np.ndarray, d_shift: int) -> Tuple[int, ...]:
+    """Exact cube-sum pooling: x >= 0 (icsf domain, < 2^18) is rounded into
+    the cube domain v = (x + 2^(D-1)) >> D (<= 2^14), cubed and summed over
+    the 10 % border-trimmed core. Returns the sum's base-2^16 digits
+    (d3, d2, d1, d0) — the bound sum < 2^63 is the adm_cube_shift
+    envelope, so the int64 accumulation is exact."""
+    h, w = x.shape
+    top, left = _trim(h), _trim(w)
+    v = (x[top : h - top, left : w - left]
+         + _I64(1 << (d_shift - 1))) >> _I64(d_shift)
+    s = int(np.sum(v * v * v))
+    return ((s >> 48) & 0xFFFF, (s >> 32) & 0xFFFF,
+            (s >> 16) & 0xFFFF, s & 0xFFFF)
+
+
+def adm_pooled_digit_sums(
+    ref: np.ndarray, dist: np.ndarray, gain_limit: float = 100.0,
+    bit_depth: int = 8,
+) -> np.ndarray:
+    """Luma pair -> (NUM_LEVELS, 3 bands, 2 num/den, 4 digits) int32 —
+    the exact integer pooled cube sums, the bit-pinning surface shared
+    with the device twins (tests/test_integer.py)."""
+    ref_pyr = dwt_pyramid_int(np.asarray(ref), bit_depth)
+    dist_pyr = dwt_pyramid_int(np.asarray(dist), bit_depth)
+    out = np.zeros((NUM_LEVELS, 3, 2, 4), dtype=np.int32)
+    for lvl in range(NUM_LEVELS):
+        o_i, t_i = ref_pyr[lvl], dist_pyr[lvl]
+        rst_i, add_i = decouple_int(o_i, t_i, gain_limit)
+        irf, _ = ADM_TAIL_TABLES[lvl]
+        icsf_o = {b: _icsf(o_i[b], irf[i]) for i, b in enumerate("hvd")}
+        icsf_r = {b: _icsf(rst_i[b], irf[i]) for i, b in enumerate("hvd")}
+        icsf_a = {b: _icsf(add_i[b], irf[i]) for i, b in enumerate("hvd")}
+        thr = _cm_thr_int(icsf_a)
+        h2, w2 = o_i["h"].shape
+        th, tw = _trim(h2), _trim(w2)
+        d = adm_cube_shift((h2 - 2 * th) * (w2 - 2 * tw))
+        for i, band in enumerate("hvd"):
+            masked = np.maximum(np.abs(icsf_r[band]) - thr, 0)
+            out[lvl, i, 0] = _cube_digits(masked, d)
+            out[lvl, i, 1] = _cube_digits(np.abs(icsf_o[band]), d)
+    return out
+
+
+def adm_from_digit_sums(
+    digits: np.ndarray, h: int, w: int
+) -> Tuple[float, List[float], float, float]:
+    """(NUM_LEVELS, 3, 2, 4) digit sums + frame dims -> (adm2,
+    [level scores], num, den). All arithmetic is f32 in the device twins'
+    operation order (cbrt + power-of-two scale + stabiliser per band)."""
+    num = np.float32(0.0)
+    den = np.float32(0.0)
+    level_scores = []
+    h2, w2 = h, w
+    for lvl in range(NUM_LEVELS):
+        h2, w2 = (h2 + 1) // 2, (w2 + 1) // 2
+        th, tw = _trim(h2), _trim(w2)
+        n_core = (h2 - 2 * th) * (w2 - 2 * tw)
+        _, f_level = ADM_TAIL_TABLES[lvl]
+        d = adm_cube_shift(n_core)
+        scale = np.float32(2.0 ** (d - f_level))
+        stab = np.float32(float(n_core / 32.0) ** (1.0 / 3.0))
+        num0, den0 = num, den
+        for i in range(3):
+            sn = digits4_to_f32(*digits[lvl, i, 0])
+            sd = digits4_to_f32(*digits[lvl, i, 1])
+            num = np.float32(np.float32(num + np.float32(
+                np.cbrt(sn) * scale)) + stab)
+            den = np.float32(np.float32(den + np.float32(
+                np.cbrt(sd) * scale)) + stab)
+        dl = float(den - den0)
+        level_scores.append(float(num - num0) / dl if dl > 0 else 1.0)
+    eps = np.float32(1e-10 * (w * h) / (1920.0 * 1080.0))
+    adm2 = np.float32(num + eps) / np.float32(den + eps)
+    return float(adm2), level_scores, float(num), float(den)
+
+
 def adm_features_int(
     ref: np.ndarray, dist: np.ndarray, gain_limit: float = 100.0,
     bit_depth: int = 8,
 ) -> Tuple[float, List[float], float, float]:
     """Luma pair -> (adm2, [level scores], num, den), integer path."""
-    ref_pyr = dwt_pyramid_int(np.asarray(ref), bit_depth)
-    dist_pyr = dwt_pyramid_int(np.asarray(dist), bit_depth)
+    digits = adm_pooled_digit_sums(ref, dist, gain_limit, bit_depth)
     h, w = np.asarray(ref).shape
-    num = den = 0.0
-    level_scores = []
-    for lvl in range(NUM_LEVELS):
-        o_i, t_i = ref_pyr[lvl], dist_pyr[lvl]
-        rst_i, add_i = decouple_int(o_i, t_i, gain_limit)
-        scale = 1.0 / (1 << ADM_BAND_Q[lvl])
-        o_f = {b: o_i[b] * scale for b in ("h", "v", "d")}
-        rst_f = {b: rst_i[b] * scale for b in ("h", "v", "d")}
-        add_f = {b: add_i[b] * scale for b in ("h", "v", "d")}
-        csf_o = apply_csf(o_f, lvl)
-        csf_r = apply_csf(rst_f, lvl)
-        csf_a = apply_csf(add_f, lvl)
-        mt = cm_threshold(csf_a)
-        num_l = den_l = 0.0
-        for band in ("h", "v", "d"):
-            masked = np.maximum(np.abs(csf_r[band]) - mt, 0.0)
-            num_l += sum_cube(masked)
-            den_l += sum_cube(csf_o[band])
-        num += num_l
-        den += den_l
-        level_scores.append(num_l / den_l if den_l > 0 else 1.0)
-    eps = 1e-10 * (w * h) / (1920.0 * 1080.0)
-    return (num + eps) / (den + eps), level_scores, num, den
+    return adm_from_digit_sums(digits, h, w)

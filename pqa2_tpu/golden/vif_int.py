@@ -123,11 +123,14 @@ def sigma_planes_int(
 VIF_INT_EPS = np.float64(65536.0) * np.float64(1.0e-10)
 
 
-def _statistic(sigma1, sigma2, sigma12, gain_limit: float) -> Tuple[float, float]:
-    """libvmaf's integer num/den statistic on Q16 sigma planes.
+def _statistic_pixel_terms(sigma1, sigma2, sigma12, gain_limit: float):
+    """Per-pixel element stage of the oracle statistic.
 
-    LUT-quantised logs + integer accumulators; double (float64) gain and
-    truncations. See the module docstring for the exact contract."""
+    Returns (log_branch, num_branch, den_tab, k_den, num_tab, num_k, s2):
+    the exact per-pixel LUT/shift contributions BEFORE reduction — the
+    surface tests/test_boundary_flips.py compares against the device's
+    ops/vif_int.py:_statistic_element to hunt for epsilon-boundary
+    flips pixel by pixel."""
     tab = log2_table().astype(np.int64)
     s1 = np.maximum(sigma1, 0).astype(np.int64)
     s2 = np.maximum(sigma2, 0).astype(np.int64)
@@ -155,6 +158,16 @@ def _statistic(sigma1, sigma2, sigma12, gain_limit: float) -> Tuple[float, float
     m2, k2 = normalize16(numer1)
     num_tab = tab[m1] - tab[m2]
     num_k = k1 - k2
+    return log_branch, num_branch, den_tab, k_den, num_tab, num_k, s2
+
+
+def _statistic(sigma1, sigma2, sigma12, gain_limit: float) -> Tuple[float, float]:
+    """libvmaf's integer num/den statistic on Q16 sigma planes.
+
+    LUT-quantised logs + integer accumulators; double (float64) gain and
+    truncations. See the module docstring for the exact contract."""
+    (log_branch, num_branch, den_tab, k_den, num_tab, num_k,
+     s2) = _statistic_pixel_terms(sigma1, sigma2, sigma12, gain_limit)
 
     # --- integer accumulators (exact), combined in double ----------------
     accum_num_log = int(np.sum(np.where(num_branch, num_tab, 0)))

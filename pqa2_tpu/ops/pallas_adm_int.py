@@ -8,12 +8,16 @@ schedule (ops/adm_int.py:_dwt1d_axis_int: int32 Q15 taps, per-axis
 into one separable sum like the f32 kernel because the schedule rounds
 between them), exact integer decoupling (k = trunc((|t|<<15)/|o|) via an
 f32 quotient estimate + exact int32 floor correction — Mosaic-safe, no
-integer division), then the f32 CSF/masking/cube tail identical to the
-f32 kernel.
+integer division), then the FIXED-POINT CSF/masking/pooling tail
+(golden/adm_int.py schedule): IRF rfactor multiplies, trunc(S/30)
+threshold (f32 reciprocal estimate + exact fixup), and exact uint64
+cube-sum pooling as base-2^16 digit columns accumulated in the int32
+(8, 128) accumulator block across tiles.
 
-Per-pixel integer stages are bit-identical to the XLA twin; deviations are
-the same as the other fused kernels: f32 reassociation in the per-tile
-partial cube sums. Pinned in tests/test_pallas_int.py.
+EVERY stage through the pooled digit sums is bit-identical to the XLA
+twin and the int64 oracle; the final cbrt + power-of-two rescale is the
+shared f32 combine (ops/adm_int.py:adm_from_digit_sums_batched). Pinned
+in tests/test_pallas_int.py.
 
 Host-side polyphase split, tile/halo geometry, the 3x3 threshold's
 roll+clamp scheme and the (8, 128) accumulator block are identical to
@@ -30,8 +34,15 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from pqa2_tpu.golden.adm import BORDER_FACTOR, COS_1DEG_SQ, NUM_LEVELS, csf_rfactors
-from pqa2_tpu.golden.fixedpoint import ADM_BAND_Q, DB2_HI_Q15, DB2_LO_Q15
+from pqa2_tpu.golden.adm import BORDER_FACTOR, COS_1DEG_SQ, NUM_LEVELS
+from pqa2_tpu.golden.fixedpoint import (
+    ADM_BAND_Q,
+    ADM_CSF_SHIFT,
+    ADM_TAIL_TABLES,
+    DB2_HI_Q15,
+    DB2_LO_Q15,
+    adm_cube_shift,
+)
 
 DEFAULT_TILE_B = 32
 
@@ -54,11 +65,10 @@ def _make_int_kernel(tile_b: int, w2: int, w2p: int, h2: int, level: int,
     nb = tile_b + 2
     comp_rows = nb + 1
     comp_rows8 = _round_up(comp_rows, 8)
-    fh, fv, fd = csf_rfactors(level)
-    scale = 1.0 / (1 << ADM_BAND_Q[level])
-    factors = (fh * scale, fv * scale, fd * scale)
+    irf, _ = ADM_TAIL_TABLES[level]
     trim_h = _trim(h2)
     trim_w = _trim(w2)
+    d_shift = adm_cube_shift((h2 - 2 * trim_h) * (w2 - 2 * trim_w))
     s_row = 15 + extra_row_shift  # vertical-pass rounding shift
 
     def kernel(ree, reo, roe, roo, dee, deo, doe, doo,
@@ -186,10 +196,16 @@ def _make_int_kernel(tile_b: int, w2: int, w2p: int, h2: int, level: int,
             corr = jnp.where(rem2 >= oa_safe, corr + 1, corr)
             return q0 + corr
 
+        def icsf(band, f):
+            # Fixed-point CSF (golden/adm_int.py:_icsf); |band| < 2^16 and
+            # IRF < 2^15 keep the product inside int32.
+            return (band * _I32(f)
+                    + _I32(1 << (ADM_CSF_SHIFT - 1))) >> ADM_CSF_SHIFT
+
         bands = []
-        for ob, tb, f in ((o["h"], td["h"], factors[0]),
-                          (o["v"], td["v"], factors[1]),
-                          (o["d"], td["d"], factors[2])):
+        for ob, tb, f in ((o["h"], td["h"], irf[0]),
+                          (o["v"], td["v"], irf[1]),
+                          (o["d"], td["d"], irf[2])):
             oa = jnp.abs(ob)
             ta = jnp.abs(tb)
             same_sign = (ob > 0) == (tb > 0)
@@ -208,11 +224,9 @@ def _make_int_kernel(tile_b: int, w2: int, w2p: int, h2: int, level: int,
                                jnp.where(tb < 0, jnp.maximum(gained, tb), tb))
             r = jnp.where(angle, r_flag, r)
             a = tb - r
-            bands.append((ob.astype(jnp.float32) * f,
-                          r.astype(jnp.float32) * f,
-                          jnp.abs(a).astype(jnp.float32) * f))
+            bands.append((icsf(ob, f), icsf(r, f), jnp.abs(icsf(a, f))))
 
-        # -- f32 tail: 3x3 contrast-masking threshold + cube sums -----------
+        # -- fixed-point tail: trunc(S/30) threshold + digit cube sums ------
         abs_sum = bands[0][2] + bands[1][2] + bands[2][2]
         n_rows = shape[0]
 
@@ -229,24 +243,57 @@ def _make_int_kernel(tile_b: int, w2: int, w2p: int, h2: int, level: int,
             return jnp.where(col_g <= 0, x, y)
 
         band3 = shift_row(abs_sum, -1) + abs_sum + shift_row(abs_sum, 1)
-        mt = (shift_col(band3, -1) + band3 + shift_col(band3, 1)
-              + abs_sum) / 30.0
+        ssum = (shift_col(band3, -1) + band3 + shift_col(band3, 1)
+                + abs_sum)  # < 30 * 2^18 < 2^23: exact in f32
+        # trunc(ssum / 30): f32 reciprocal estimate (off by at most 1 after
+        # floor) + exact integer fixup — Mosaic-safe, no integer division,
+        # bit-identical to the oracle's // 30.
+        q0 = jnp.floor(ssum.astype(jnp.float32)
+                       * jnp.float32(1.0 / 30.0)).astype(_I32)
+        rem = ssum - q0 * 30
+        q0 = jnp.where(rem < 0, q0 - 1, q0)
+        rem = ssum - q0 * 30
+        mt = jnp.where(rem >= 30, q0 + 1, q0)
 
         core = ((row_g >= t * tile_b) & (row_g < t * tile_b + tile_b)
                 & (row_g >= trim_h) & (row_g < h2 - trim_h)
                 & (col_g >= trim_w) & (col_g < w2 - trim_w))
 
+        m16 = _I32(0xFFFF)
+
+        def cube_digits(x):
+            # Per-tile exact cube-sum digits (ops/adm_int.py:
+            # _cube_digit_sums): v <= 2^14, v^3 split into 16-bit-aligned
+            # columns, lane-summed, carry-folded per row, row-summed. Each
+            # per-tile digit < rows * 2^16 < 2^22; the int32 accumulator
+            # block then holds sums over every tile (< 2^22 * num_tiles).
+            v = (x + _I32(1 << (d_shift - 1))) >> d_shift
+            v = jnp.where(core, v, 0)
+            c = v * v
+            hi = (c >> 16) * v
+            lo = (c & m16) * v
+            s0 = jnp.sum(lo & m16, axis=1, keepdims=True)
+            s1 = jnp.sum((lo >> 16) + (hi & m16), axis=1, keepdims=True)
+            s2 = jnp.sum(hi >> 16, axis=1, keepdims=True)
+            s1 = s1 + (s0 >> 16)
+            s0 = s0 & m16
+            s2 = s2 + (s1 >> 16)
+            s1 = s1 & m16
+            s3 = s2 >> 16
+            s2 = s2 & m16
+            return [jnp.sum(s3), jnp.sum(s2), jnp.sum(s1), jnp.sum(s0)]
+
         sums = []
-        for csf_o, csf_r, _ in bands:
-            masked = jnp.maximum(jnp.abs(csf_r) - mt, 0.0)
-            sums.append(jnp.sum(jnp.where(core, masked ** 3, 0.0)))
-            sums.append(jnp.sum(jnp.where(core, jnp.abs(csf_o) ** 3, 0.0)))
+        for icsf_o, icsf_r, _ in bands:
+            masked = jnp.maximum(jnp.abs(icsf_r) - mt, 0)
+            sums.extend(cube_digits(masked))
+            sums.extend(cube_digits(jnp.abs(icsf_o)))
 
         r8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
         c8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
-        blk = jnp.zeros((8, 128), jnp.float32)
+        blk = jnp.zeros((8, 128), jnp.int32)
         for i, s in enumerate(sums):
-            blk = blk + jnp.where((r8 == 0) & (c8 == i), s, 0.0)
+            blk = blk + jnp.where((r8 == 0) & (c8 == i), s, 0)
 
         @pl.when(t == 0)
         def _():
@@ -321,7 +368,7 @@ def adm_int_level_pallas(
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((n, 8, 128), jnp.float32),
+            jax.ShapeDtypeStruct((n, 8, 128), jnp.int32),
             jax.ShapeDtypeStruct((n, num_tiles * tile_b, w2p), _I32),
             jax.ShapeDtypeStruct((n, num_tiles * tile_b, w2p), _I32),
         ),
@@ -332,8 +379,50 @@ def adm_int_level_pallas(
         interpret=interpret,
     )(*r_comps, *d_comps)
 
-    sums = acc[:, 0, :6]
-    return sums, a_ref[:, :h2, :w2], a_dist[:, :h2, :w2]
+    from pqa2_tpu.ops.adm_int import normalize_digits4
+
+    raw = acc[:, 0, :24].reshape(n, 3, 2, 4)
+    digits = normalize_digits4(raw[..., 0], raw[..., 1], raw[..., 2],
+                               raw[..., 3])
+    return digits, a_ref[:, :h2, :w2], a_dist[:, :h2, :w2]
+
+
+def adm_pooled_digit_sums_pallas(
+    ref: jnp.ndarray,
+    dist: jnp.ndarray,
+    gain_limit: float = 100.0,
+    interpret: bool = False,
+    bit_depth: int = 8,
+) -> jnp.ndarray:
+    """(N, H, W) pair -> (N, NUM_LEVELS, 3, 2, 4) int32 pooled cube-sum
+    digits via the fused level kernels — bit-identical to
+    ops.adm_int.adm_pooled_digit_sums_batched and the int64 oracle."""
+    if not interpret and jax.default_backend() != "tpu":
+        interpret = True
+
+    from pqa2_tpu.ops.vif_int import to_native_grid
+
+    # Native >8-bit grid: codes carry in_q fractional bits. Up to Q4 the
+    # initial shift keeps level 0 at Q4 on the 8-bit scale; 13..16-bit
+    # codes enter unshifted and level 0's vertical pass folds the surplus
+    # into its rounding shift; depth 16 splits that pass's accumulator
+    # (golden/adm_int.py:dwt_pyramid_int, ops/adm_int.py).
+    ref_c, in_q = to_native_grid(ref, bit_depth)
+    dist_c, _ = to_native_grid(dist, bit_depth)
+    cur_r = ref_c.astype(_I32) << max(ADM_BAND_Q[0] - in_q, 0)
+    cur_d = dist_c.astype(_I32) << max(ADM_BAND_Q[0] - in_q, 0)
+    levels = []
+    for lvl in range(NUM_LEVELS):
+        if lvl:
+            drop = ADM_BAND_Q[lvl - 1] - ADM_BAND_Q[lvl]
+        else:
+            drop = max(in_q - ADM_BAND_Q[0], 0)
+        digits, cur_r, cur_d = adm_int_level_pallas(
+            cur_r, cur_d, lvl, gain_limit=gain_limit, interpret=interpret,
+            extra_row_shift=drop, in_split=in_q >= 8 and lvl == 0,
+        )
+        levels.append(digits)
+    return jnp.stack(levels, axis=1)
 
 
 def adm_features_int_pallas(
@@ -345,39 +434,12 @@ def adm_features_int_pallas(
 ) -> jnp.ndarray:
     """(N, H, W) luma pair -> (N,) adm2 via the fused integer level kernels.
 
-    Drop-in equivalent of ops.adm_int.adm_features_int_batched."""
-    if not interpret and jax.default_backend() != "tpu":
-        interpret = True
-
-    from pqa2_tpu.ops.vif_int import to_native_grid
+    Drop-in equivalent of ops.adm_int.adm_features_int_batched (the digit
+    sums are bit-identical; the f32 combine is the shared code path)."""
+    from pqa2_tpu.ops.adm_int import adm_from_digit_sums_batched
 
     h, w = ref.shape[-2], ref.shape[-1]
-    # Native >8-bit grid: codes carry in_q fractional bits. Up to Q4 the
-    # initial shift keeps level 0 at Q4 on the 8-bit scale; 13..16-bit
-    # codes enter unshifted and level 0's vertical pass folds the surplus
-    # into its rounding shift; depth 16 splits that pass's accumulator
-    # (golden/adm_int.py:dwt_pyramid_int, ops/adm_int.py).
-    ref_c, in_q = to_native_grid(ref, bit_depth)
-    dist_c, _ = to_native_grid(dist, bit_depth)
-    cur_r = ref_c.astype(_I32) << max(ADM_BAND_Q[0] - in_q, 0)
-    cur_d = dist_c.astype(_I32) << max(ADM_BAND_Q[0] - in_q, 0)
-    num = 0.0
-    den = 0.0
-    for lvl in range(NUM_LEVELS):
-        if lvl:
-            drop = ADM_BAND_Q[lvl - 1] - ADM_BAND_Q[lvl]
-        else:
-            drop = max(in_q - ADM_BAND_Q[0], 0)
-        h2, w2 = (cur_r.shape[1] + 1) // 2, (cur_r.shape[2] + 1) // 2
-        sums, cur_r, cur_d = adm_int_level_pallas(
-            cur_r, cur_d, lvl, gain_limit=gain_limit, interpret=interpret,
-            extra_row_shift=drop, in_split=in_q >= 8 and lvl == 0,
-        )
-        th, tw = _trim(h2), _trim(w2)
-        n_core = (h2 - 2 * th) * (w2 - 2 * tw)
-        stab = float(n_core / 32.0) ** (1.0 / 3.0)
-        for b in range(3):
-            num = num + jnp.cbrt(sums[:, 2 * b]) + stab
-            den = den + jnp.cbrt(sums[:, 2 * b + 1]) + stab
-    eps = 1e-10 * (w * h) / (1920.0 * 1080.0)
-    return (num + eps) / (den + eps)
+    digits = adm_pooled_digit_sums_pallas(
+        ref, dist, gain_limit=gain_limit, interpret=interpret,
+        bit_depth=bit_depth)
+    return adm_from_digit_sums_batched(digits, h, w)

@@ -45,16 +45,19 @@ def resolve_precision(model, setting: Optional[str] = None) -> str:
     bit-faithful libvmaf fixed-point path including the LUT-quantised log
     statistic (the family integer models were trained on): every integer
     stage is bit-identical to the uint64 oracle, so the shipping scores
-    carry no approximation leg at all. It runs 159 fps at 4K on one chip
-    (2.6x the 60 fps target) since the statistic's table values are
-    computed directly in audited double-f32 arithmetic
-    (ops/crlog2.py + ops/pallas_vif_int.py:log2_direct_exceptions;
-    originally 4 fps as gathers, 64 fps as MXU breakpoint fetches).
+    carry no approximation leg at all. The statistic's table values are
+    computed directly in audited double-f32 arithmetic (ops/crlog2.py +
+    ops/pallas_vif_int.py:log2_direct_exceptions; originally ~4 fps at 4K
+    as gathers, ~64 fps as MXU breakpoint fetches).
 
-    "integer_fast" runs the identical integer moment pipeline but
-    smooths the statistic's LUT logs to f32 — ~4% faster (167 fps 4K)
-    for a score delta bounded at 1e-3 (pinned in tests); it remains as
-    an opt-in throughput mode.
+    "integer_fast" runs the identical integer moment pipeline but smooths
+    the statistic's LUT logs to f32, for a score delta bounded at 1e-3
+    (pinned in tests); it remains as an opt-in throughput mode. Measured
+    whole-model 4K throughput of both modes lives in the GENERATED table
+    in docs/PERFORMANCE.md (BENCH_FULL.json is the source of truth;
+    tests/test_perf_docs_sync.py fails on drift) — the exact default
+    clears the 60 fps target with margin and the fast mode's advantage
+    is the whole-model ratio there, not a cascade-level number.
 
     The choice is uniform across backends so results are reproducible
     between CPU and TPU."""

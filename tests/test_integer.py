@@ -134,6 +134,45 @@ def test_adm_int_bit_exact_and_identity(rng):
     np.testing.assert_allclose(ident, 1.0, atol=1e-7)
 
 
+@pytest.mark.smoke
+def test_adm_int_tail_digit_sums_bit_exact(rng):
+    """Round-5 fixed-point tail: the pooled uint64 cube sums (CSF +
+    masking + pooling, golden/adm_int.py schedule) are bit-identical
+    between the int64 oracle and the XLA digit-cascade twin, for both
+    gain limits; the final combine then agrees to f32 cbrt variance."""
+    from pqa2_tpu.golden.adm_int import adm_pooled_digit_sums
+    from pqa2_tpu.ops.adm_int import adm_pooled_digit_sums_batched
+
+    ref, dist = _pair(rng, n=2, smooth=False, noise=25)
+    for gl in (100.0, 1.0):
+        do = np.stack([adm_pooled_digit_sums(ref[i], dist[i], gl)
+                       for i in range(2)])
+        dd = np.asarray(adm_pooled_digit_sums_batched(
+            jnp.asarray(ref), jnp.asarray(dist), gl))
+        assert np.array_equal(do, dd), gl
+
+
+def test_adm_int_tail_digit_sums_bit_exact_deep_depths(rng):
+    """The fixed-point tail is depth-independent by construction (the
+    pyramid folds >8-bit codes onto the standard band-Q schedule) —
+    pinned bit-for-bit at 10/14/16-bit."""
+    from pqa2_tpu.golden.adm_int import adm_pooled_digit_sums
+    from pqa2_tpu.ops.adm_int import adm_pooled_digit_sums_batched
+
+    for depth in (10, 14, 16):
+        peak = (1 << depth) - 1
+        ref = rng.integers(0, peak + 1, (1, 72, 96)).astype(np.uint16)
+        dist = np.clip(
+            ref.astype(np.int32)
+            + rng.integers(-(peak // 8), peak // 8 + 1, ref.shape),
+            0, peak).astype(np.uint16)
+        do = adm_pooled_digit_sums(ref[0], dist[0], bit_depth=depth)
+        dd = np.asarray(adm_pooled_digit_sums_batched(
+            jnp.asarray(ref, jnp.uint32), jnp.asarray(dist, jnp.uint32),
+            bit_depth=depth))[0]
+        assert np.array_equal(do, dd), depth
+
+
 def test_adm_int_vs_float_delta_pinned(rng):
     from pqa2_tpu.golden.adm import adm_features
     from pqa2_tpu.golden.adm_int import adm_features_int

@@ -106,24 +106,36 @@ def test_identity_gives_unity(rng):
 
 @pytest.mark.parametrize("shape", [(2, 64, 96), (1, 72, 100), (2, 57, 96)])
 def test_adm_matches_xla_twin(rng, shape):
-    from pqa2_tpu.ops.adm_int import adm_features_int_batched
-    from pqa2_tpu.ops.pallas_adm_int import adm_features_int_pallas
+    """Round 5: the fixed-point tail's pooled digit sums are bit-equal
+    kernel vs XLA twin, and the shared f32 combine makes adm2 itself
+    bit-identical."""
+    from pqa2_tpu.ops.adm_int import (
+        adm_features_int_batched,
+        adm_pooled_digit_sums_batched,
+    )
+    from pqa2_tpu.ops.pallas_adm_int import (
+        adm_features_int_pallas,
+        adm_pooled_digit_sums_pallas,
+    )
 
     r, d = _pair(rng, *shape, spread=25)
+    dx = np.asarray(adm_pooled_digit_sums_batched(r, d))
+    dp = np.asarray(adm_pooled_digit_sums_pallas(r, d, interpret=True))
+    assert np.array_equal(dx, dp)
     want = np.asarray(adm_features_int_batched(r, d))
     got = np.asarray(adm_features_int_pallas(r, d, interpret=True))
-    np.testing.assert_allclose(got, want, atol=5e-7, rtol=0)
+    np.testing.assert_array_equal(got, want)
 
 
 def test_adm_gain_limit_neg(rng):
-    from pqa2_tpu.ops.adm_int import adm_features_int_batched
-    from pqa2_tpu.ops.pallas_adm_int import adm_features_int_pallas
+    from pqa2_tpu.ops.adm_int import adm_pooled_digit_sums_batched
+    from pqa2_tpu.ops.pallas_adm_int import adm_pooled_digit_sums_pallas
 
     r, d = _pair(rng, 2, 64, 96, spread=60)
-    want = np.asarray(adm_features_int_batched(r, d, gain_limit=1.0))
-    got = np.asarray(adm_features_int_pallas(r, d, gain_limit=1.0,
-                                             interpret=True))
-    np.testing.assert_allclose(got, want, atol=5e-7, rtol=0)
+    want = np.asarray(adm_pooled_digit_sums_batched(r, d, gain_limit=1.0))
+    got = np.asarray(adm_pooled_digit_sums_pallas(r, d, gain_limit=1.0,
+                                                  interpret=True))
+    assert np.array_equal(got, want)
 
 
 def test_extract_features_integer_pallas_backend(rng):
