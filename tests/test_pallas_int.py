@@ -180,6 +180,31 @@ def test_exact_fused_bound_geometry():
         assert not _exact_fused_in_bounds(4096, 4096, th, True)
 
 
+def test_exact_fused_fallback_scores_out_of_envelope(rng):
+    """Actually SCORE a geometry outside the envelope and pin the result
+    through the fallback (round-4 VERDICT item 8).
+
+    4096x4096 = 2^24 px crosses both envelope bounds at scale 0 (the
+    interpret-mode 16-row tiles put it over the tile cap too), so
+    vif_features_int_pallas takes the per-scale emit_sigma hybrid branch
+    there while scales 1-3 (<= 4M px) stay fused.  The mixed run must be
+    bit-identical to the XLA twin — whose integer accumulators leave no
+    reassociation freedom and which is itself pinned to the uint64 oracle
+    in tests/test_integer.py — so the geometry-triggered switch can never
+    silently change a score."""
+    from pqa2_tpu.ops.pallas_vif_int import _exact_fused_in_bounds
+
+    h = w = 4096
+    assert not _exact_fused_in_bounds(h, w, 16, True)   # scale 0: fallback
+    assert _exact_fused_in_bounds(h // 2, w // 2, 16, True)  # scale 1: fused
+    ref = rng.integers(0, 256, (1, h, w)).astype(np.float32)
+    dist = np.clip(
+        ref + rng.integers(-24, 25, ref.shape).astype(np.float32), 0, 255)
+    want = np.asarray(vif_features_int_batched(ref, dist))
+    got = np.asarray(vif_features_int_pallas(ref, dist, interpret=True))
+    assert np.array_equal(got, want), (got, want)
+
+
 def test_log2_direct_audit_and_corrected_engine_exhaustive():
     """The in-kernel direct-log2 audit (log2_direct_exceptions) finds at
     most a tiny correction list on this backend, and the corrected direct
