@@ -55,24 +55,54 @@ def _make_kernel(tile_b: int, tile_w: int, h: int, w: int,
         n = pl.program_id(0)
         t = pl.program_id(1)
         j = pl.program_id(2)
+        nn = pl.num_programs(0)
+        nt = pl.num_programs(1)
+        nj = pl.num_programs(2)
 
-        rt = vmem.at[0, pl.ds(0, rows8), :]
-        dt = vmem.at[1, pl.ds(0, rows8), :]
-        cp1 = pltpu.make_async_copy(
-            ref_hbm.at[n, pl.ds(t * tile_b * 4, rows8), pl.ds(j * tile_w, twp)],
-            rt, sem.at[0],
-        )
-        cp2 = pltpu.make_async_copy(
-            dist_hbm.at[n, pl.ds(t * tile_b * 4, rows8), pl.ds(j * tile_w, twp)],
-            dt, sem.at[1],
-        )
-        cp1.start()
-        cp2.start()
-        cp1.wait()
-        cp2.wait()
+        # Double-buffered input pipeline (same shape as ops/pallas_vif.py):
+        # wait on the tiles the previous step prefetched into this slot,
+        # start the next step's DMAs into the other slot, so HBM reads
+        # overlap compute instead of serialising at the top of every step.
+        def start_copies(slot, ni, ti, ji):
+            for k_s, src_hbm in enumerate((ref_hbm, dist_hbm)):
+                pltpu.make_async_copy(
+                    src_hbm.at[ni, pl.ds(ti * tile_b * 4, rows8),
+                               pl.ds(ji * tile_w, twp)],
+                    vmem.at[slot, k_s, pl.ds(0, rows8), :],
+                    sem.at[slot, k_s],
+                ).start()
 
-        r = vmem[0, :rows, :]
-        d = vmem[1, :rows, :]
+        def wait_copies(slot):
+            for k_s in range(2):
+                pltpu.make_async_copy(
+                    ref_hbm.at[0, pl.ds(0, rows8), pl.ds(0, twp)],
+                    vmem.at[slot, k_s, pl.ds(0, rows8), :],
+                    sem.at[slot, k_s],
+                ).wait()
+
+        step = (n * nt + t) * nj + j
+        slot = jax.lax.rem(step, 2)
+
+        @pl.when(step == 0)
+        def _():
+            start_copies(0, n, t, j)
+
+        j1 = j + 1
+        cj = j1 == nj
+        j1 = jnp.where(cj, 0, j1)
+        t1 = jnp.where(cj, t + 1, t)
+        ct = t1 == nt
+        t1 = jnp.where(ct, 0, t1)
+        n1 = jnp.where(ct, n + 1, n)
+
+        @pl.when(n1 < nn)
+        def _():
+            start_copies(1 - slot, n1, t1, j1)
+
+        wait_copies(slot)
+
+        r = vmem[slot, 0, :rows, :]
+        d = vmem[slot, 1, :rows, :]
 
         # Banded one-hot block-sum matrices (0/1 entries -> the HIGHEST-
         # precision f32 dot is exact). Built from iota, no extra DMA.
@@ -203,8 +233,8 @@ def ssim_sse_pallas(
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, 8, 128), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((2, _round_up(rows, 8), tile_w + 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, 2, _round_up(rows, 8), tile_w + 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
         ],
         interpret=interpret,
     )(ref_p, dist_p)

@@ -42,3 +42,35 @@ def test_render_covers_all_headline_fields():
     for key, val in full.items():
         if key.endswith("_fps") and isinstance(val, (int, float)):
             assert f"**{val:.1f}**" in block, f"missing row for {key}"
+
+
+def test_bench_full_not_stale_vs_kernels():
+    """BENCH_FULL.json must postdate the last commit touching the compute
+    hot paths (round-4 VERDICT item 3: the artifact drifted from the final
+    kernels three rounds running). bench.py stamps git_head/git_dirty into
+    the JSON; this test fails when any LATER commit touched ops/pipeline/
+    models/bench.py — i.e. whenever kernel work lands without re-running
+    `python bench.py --full` afterwards."""
+    import json
+
+    full = json.loads((ROOT / "BENCH_FULL.json").read_text())
+    head = full.get("git_head")
+    if not head:
+        pytest.skip("BENCH_FULL.json predates git stamping (round <= 4); "
+                    "the next --full run activates this gate")
+    assert not full.get("git_dirty"), (
+        "BENCH_FULL.json was generated on a dirty tree — regenerate on the "
+        "committed state")
+    hot_paths = ["pqa2_tpu/ops", "pqa2_tpu/pipeline", "pqa2_tpu/models",
+                 "bench.py"]
+    proc = subprocess.run(
+        ["git", "rev-list", f"{head}..HEAD", "--"] + hot_paths,
+        capture_output=True, text=True, cwd=str(ROOT),
+    )
+    if proc.returncode != 0:
+        pytest.skip(f"git unavailable or unknown ref: {proc.stderr[:200]}")
+    later = [ln for ln in proc.stdout.split() if ln]
+    assert not later, (
+        f"BENCH_FULL.json (run at {head[:12]}) is stale: commits touching "
+        f"the compute hot paths landed after it: {later[:5]} — re-run "
+        f"`python bench.py --full` and `tools/sync_perf_docs.py`")
