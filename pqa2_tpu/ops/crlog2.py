@@ -108,6 +108,61 @@ def _fast2sum(a, b):
     return s, e
 
 
+def log2_q11_light(m):
+    """Integer-valued f32 mantissas in [2^15, 2^16) -> u = t[m] - 30720,
+    the TRIMMED direct sequence (~68 VPU ops vs ~115).
+
+    Same target as log2_q11_direct — the table value through the
+    correctly-rounded f32 y32 = RN(log2 m). (The table is NOT
+    round(log2(m)*2048) of the infinitely-precise log2: libvmaf rounds
+    log2 to f32 FIRST, and that double rounding moves 38 of the 32768
+    entries — tests/test_log2lut.py pins this trap.) The y32 midpoint
+    margin is 2^-35.8 while the full sequence evaluates to ~2^-40, a 16x
+    budget surplus this variant spends on dropped refinements:
+
+      * the quotient's Dekker residual (s = q1 alone — the reciprocal's
+        2^-45-level correction never decides a midpoint here);
+      * the series tail ends at s^13/13 and s^2 is one plain multiply;
+      * s^4/5 in plain f32 (t2 <= 2^-8.7: its rounding sits ~2^-33,
+        inside the margin);
+      * the two mid-chain renormalising fast2sums.
+
+    Exhaustive IEEE-f32 result: exactly ONE mantissa (64841) lands one
+    step off — inside the audit's compare-add budget.
+    ops/pallas_vif_int.py:log2_direct_exceptions probes THIS sequence
+    first per backend and falls back to log2_q11_direct, then to the MXU
+    breakpoint fetch, if a backend exceeds the budget; correctness never
+    rests on the error analysis above."""
+    one = _F(1.0)
+    r = m * _F(2.0 ** -15)  # exact
+    n = r - one  # exact (Sterbenz)
+    dh = r + one  # exact (17-bit integer on the 2^-15 grid)
+    rdh = one / dh
+    q1 = n * rdh  # s, faithful (no residual — see docstring)
+    q1h, q1l = _split(q1)
+    zh = q1 * q1  # s^2, plain
+    # Tail s^7/7 .. s^13/13 plain; s^4/5 plain; s^2/3 with its low word.
+    t3 = (zh * zh * zh) * (
+        _C7 + zh * (_C9 + zh * (_C11 + zh * _C13))
+    )
+    t2 = (zh * zh) * _F5_HI
+    t1h = zh * _F3_HI
+    t1l = zh * _F3_LO
+    th, te = _fast2sum(t1h, t2 + t3)
+    tl = te + t1l
+    thh, thl = _split(th)
+    wh, we = _two_prod_ps(q1, q1h, q1l, th, thh, thl)
+    wl = we + q1 * tl
+    sh, se = _fast2sum(q1, wh)
+    sl = se + wl
+    shh, shl = _split(sh)
+    gh, ge = _two_prod_ps(sh, shh, shl, _C_HI, _C_HI_H, _C_HI_L)
+    gl = ge + (sh * _C_LO + sl * _C_HI)
+    yh, ye = _fast2sum(_F(15.0), gh)
+    y32 = yh + (ye + gl)  # the correctly-rounded f32 log2(m) (1 exc)
+    return (y32 * _F(2048.0) + _F(0.5)) // one - _F(30720.0)
+
+
 def log2_q11_direct(m):
     """Integer-valued f32 mantissas in [2^15, 2^16) -> u = t[m] - 30720.
 

@@ -89,6 +89,7 @@ def _round_up(x: int, m: int) -> int:
 
 
 _LOG2_DIRECT_EXC: dict = {}
+_LOG2_DIRECT_ENGINE: dict = {}  # (backend, interpret) -> "light"|"direct"
 _LOG2_DIRECT_MAX_EXC = 8
 
 
@@ -135,36 +136,64 @@ def log2_direct_exceptions(interpret: bool = False):
         return None
 
     from pqa2_tpu.golden.log2lut import log2_table
-    from pqa2_tpu.ops.crlog2 import log2_q11_direct
-
-    def kernel(m_ref, o_ref):
-        o_ref[...] = log2_q11_direct(m_ref[...]).astype(jnp.int32)
+    from pqa2_tpu.ops.crlog2 import log2_q11_direct, log2_q11_light
 
     m_host = (32768.0 + np.arange(32768.0)).reshape(256, 128)
-    got = pl.pallas_call(
-        kernel,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((256, 128), jnp.int32),
-        interpret=interpret,
-    )(jnp.asarray(m_host, jnp.float32))
-    got = np.asarray(got).reshape(-1).astype(np.int64)
     want = log2_table()[32768:65536].astype(np.int64) - 30720
-    bad = np.nonzero(got != want)[0]
-    if len(bad) > _LOG2_DIRECT_MAX_EXC:
-        exc = None
-    else:
-        exc = tuple(
-            (int(i) + 32768, int(want[i] - got[i])) for i in bad
-        )
-    _LOG2_DIRECT_EXC[key] = exc
-    return exc
+    # Tiered probe: the ~68-op trimmed sequence first (1 exception on
+    # IEEE f32 — see crlog2.log2_q11_light), the full correctly-rounded
+    # ~115-op sequence second, the MXU breakpoint fetch as the
+    # always-correct floor.
+    for engine_name, engine_fn in (("light", log2_q11_light),
+                                   ("direct", log2_q11_direct)):
+        def kernel(m_ref, o_ref, fn=engine_fn):
+            o_ref[...] = fn(m_ref[...]).astype(jnp.int32)
+
+        got = pl.pallas_call(
+            kernel,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((256, 128), jnp.int32),
+            interpret=interpret,
+        )(jnp.asarray(m_host, jnp.float32))
+        got = np.asarray(got).reshape(-1).astype(np.int64)
+        bad = np.nonzero(got != want)[0]
+        if len(bad) <= _LOG2_DIRECT_MAX_EXC:
+            exc = tuple(
+                (int(i) + 32768, int(want[i] - got[i])) for i in bad
+            )
+            _LOG2_DIRECT_EXC[key] = exc
+            _LOG2_DIRECT_ENGINE[key] = engine_name
+            return exc
+    _LOG2_DIRECT_EXC[key] = None
+    _LOG2_DIRECT_ENGINE[key] = None
+    return None
 
 
 def log2_direct_ok(interpret: bool = False) -> bool:
     """True when the direct double-f32 table engine is usable on this
     backend (see log2_direct_exceptions)."""
     return log2_direct_exceptions(interpret) is not None
+
+
+def log2_direct_engine_name(interpret: bool = False) -> str:
+    """Which audited engine log2_direct_exceptions' correction list
+    belongs to on this backend ("light" or "direct"). Answered from the
+    probe cache; a missing entry (exceptions forced externally, e.g.
+    tests) conservatively maps to the full direct sequence."""
+    if jax.default_backend() != "tpu":
+        interpret = True
+    return _LOG2_DIRECT_ENGINE.get(
+        (jax.default_backend(), bool(interpret)), "direct")
+
+
+def log2_direct_engine_fn(interpret: bool = False):
+    """The audited per-pixel table-value engine callable (see
+    log2_direct_engine_name)."""
+    from pqa2_tpu.ops.crlog2 import log2_q11_direct, log2_q11_light
+
+    name = log2_direct_engine_name(interpret)
+    return log2_q11_light if name == "light" else log2_q11_direct
 
 
 _BP_PLANES = None
@@ -248,7 +277,7 @@ def _split_sum(vals, rows):
 
 
 def _fused_exact_slots(s1, s2, s12, gain_limit, valid, tile_w, planes,
-                       direct_exc=None):
+                       direct_exc=None, log2_engine="direct"):
     """Exact LUT statistic fully inside the kernel.
 
     Runs the twin's element stage (ops/vif_int.py:_statistic_element) on
@@ -300,11 +329,14 @@ def _fused_exact_slots(s1, s2, s12, gain_limit, valid, tile_w, planes,
         # engine's one-hot matmul columns; a (1, N) vector leaves 7/8 of
         # every (8, 128) vreg idle, which made the double-f32 evaluation
         # look ~8x more expensive than its op count.)
-        from pqa2_tpu.ops.crlog2 import log2_q11_direct
+        from pqa2_tpu.ops.crlog2 import log2_q11_direct, log2_q11_light
+
+        log2_fn = (log2_q11_light if log2_engine == "light"
+                   else log2_q11_direct)
 
         def u2d(mu):  # u32 mantissas (rows, twp) -> exact u values (i32)
             mf = mu[:, :tw].astype(i32).astype(f32)
-            u = log2_q11_direct(mf)
+            u = log2_fn(mf)
             for m_e, d_e in direct_exc:
                 u = u + jnp.where(mf == np.float32(m_e),
                                   f32(d_e), f32(0.0))
@@ -454,7 +486,8 @@ def _statistic_int(s1i, s2i, s12i, gain_limit):
 def _make_int_kernel(taps: np.ndarray, tile_h: int, tile_w: int,
                      h: int, w: int, gain_limit: float, in_q: int,
                      next_taps=None, with_motion=False, emit_sigma=False,
-                     exact_fused=False, exact_direct_exc=None):
+                     exact_fused=False, exact_direct_exc=None,
+                     exact_log2_engine="direct"):
     k = len(taps)
     half = k // 2
     rows = tile_h + 2 * half
@@ -758,6 +791,7 @@ def _make_int_kernel(taps: np.ndarray, tile_h: int, tile_w: int,
                 exact_slots = _fused_exact_slots(
                     s1, s2, s12, gain_limit, valid, s1.shape[1],
                     None, direct_exc=exact_direct_exc,
+                    log2_engine=exact_log2_engine,
                 )
             else:
                 # The MXU fetch statistic needs 128-multiple lane dims for
@@ -893,7 +927,8 @@ def _recombine_exact(a: jnp.ndarray, h: int, w: int):
     jax.jit,
     static_argnames=("scale", "gain_limit", "in_q", "tile_h", "interpret",
                      "emit_next", "with_motion", "emit_sigma",
-                     "exact_fused", "exact_direct_exc"),
+                     "exact_fused", "exact_direct_exc",
+                     "exact_log2_engine"),
 )
 def vif_int_scale_pallas(
     ref: jnp.ndarray,
@@ -908,6 +943,7 @@ def vif_int_scale_pallas(
     emit_sigma: bool = False,
     exact_fused: bool = False,
     exact_direct_exc: tuple = None,
+    exact_log2_engine: str = "direct",
 ):
     """uint32 (N, H, W) pair (Q{in_q} pixels) at this scale's resolution ->
     (num, den[, sad][, ref', dist']) — or, with ``emit_sigma``,
@@ -945,6 +981,7 @@ def vif_int_scale_pallas(
         taps, tile_h, tile_w, h, w, gain_limit, in_q,
         next_taps=next_taps, with_motion=with_motion, emit_sigma=emit_sigma,
         exact_fused=exact_fused, exact_direct_exc=exact_direct_exc,
+        exact_log2_engine=exact_log2_engine,
     )
     out_specs = [
         pl.BlockSpec((1, 8, 128), lambda i, j, k2: (i, 0, 0),
@@ -1079,6 +1116,7 @@ def vif_features_int_pallas(
     force_fetch = os.environ.get("PQA2_EXACT_ENGINE", "auto") == "fetch"
     direct_exc = (log2_direct_exceptions(interpret)
                   if exact and not force_fetch else None)
+    log2_engine = log2_direct_engine_name(interpret)
 
     for scale in range(4):
         hybrid = exact and (
@@ -1096,6 +1134,7 @@ def vif_features_int_pallas(
             emit_sigma=hybrid,
             exact_fused=exact and not hybrid,
             exact_direct_exc=None if hybrid else direct_exc,
+            exact_log2_engine=log2_engine,
         )
         if hybrid:
             s1, s2, s12 = out[0], out[1], out[2]

@@ -268,7 +268,10 @@ def _pair_sub(a_hi, a_lo, b_hi, b_lo):
 
 
 def _div_u64_u32(p_hi: jnp.ndarray, p_lo: jnp.ndarray, d: jnp.ndarray):
-    """Exact floor((p_hi*2^32 + p_lo) / d) with remainder, for d >= 2^16.
+    """Exact floor((p_hi*2^32 + p_lo) / d) with remainder, for d >= 2^17
+    and p < 2^62 (the statistic's envelope: p = s12^2 with s12 < 2^31,
+    d = s1 >= SIGMA_NSQ_Q16 = 2^17 on the log branch, 2^20 on masked
+    lanes — pinned at the boundary in tests/test_log2lut.py).
 
     Base-2^16 schoolbook long division; each digit is an f32 estimate
     (error well under 1 for d >= 2^16) followed by an exact integer
@@ -276,7 +279,13 @@ def _div_u64_u32(p_hi: jnp.ndarray, p_lo: jnp.ndarray, d: jnp.ndarray):
     quotient as a u32 pair (it can exceed 32 bits when p ~ 2^62 and
     d ~ 2^17) and the final remainder r < d.
 
-    The division is hoisted to ONE reciprocal per element (the four
+    THREE digit rounds, not four: q = p/d < 2^62/2^17 = 2^45, so the top
+    base-2^16 digit (quotient bits 48..63) is identically zero, and the
+    remainder entering round two is just p's top limb (p_hi >> 16 < 2^14
+    < d — no reduction needed). A quarter of the division's VPU work
+    drops out statically.
+
+    The division is hoisted to ONE reciprocal per element (the three
     per-digit divides become multiplies): the estimate's relative error
     grows to a few ulp, i.e. < 0.05 absolute on a < 2^16 digit — still
     far inside the +-1 fixup's budget, and the fixup is exact-integer,
@@ -285,16 +294,19 @@ def _div_u64_u32(p_hi: jnp.ndarray, p_lo: jnp.ndarray, d: jnp.ndarray):
     """
     df = _u32_f32(d)
     rdf = jnp.float32(1.0) / df
-    limbs = [p_hi >> 16, p_hi & _MASK16, p_lo >> 16, p_lo & _MASK16]
+    limbs = [p_hi & _MASK16, p_lo >> 16, p_lo & _MASK16]
     rem_hi = jnp.zeros_like(d)
-    rem_lo = jnp.zeros_like(d)
+    rem_lo = p_hi >> 16  # < 2^14 < d: the skipped round's exact remainder
     digits = []
     for limb in limbs:
         # rem = rem * 2^16 + limb  (rem < d*2^16 <= 2^47: hi has >=17
         # leading zeros before the shift, so no bits are lost)
         rem_hi = (rem_hi << 16) | (rem_lo >> 16)
         rem_lo = ((rem_lo & _MASK16) << 16) | limb
-        remf = _u32_f32(rem_hi) * jnp.float32(2.0**32) + _u32_f32(rem_lo)
+        # rem_hi < 2^15 (rem < d*2^16 <= 2^47), so its f32 convert is one
+        # exact i32 cast — no 16-bit limb split needed.
+        remf = (rem_hi.astype(jnp.int32).astype(jnp.float32)
+                * jnp.float32(2.0**32) + _u32_f32(rem_lo))
         q = jnp.floor(remf * rdf)
         q = _f32_u32(jnp.clip(q, 0.0, 65536.0))
         # exact fixup: rem2 = rem - q*d, then the bounded +-1 adjustments
@@ -314,10 +326,10 @@ def _div_u64_u32(p_hi: jnp.ndarray, p_lo: jnp.ndarray, d: jnp.ndarray):
                                   jnp.where(under, d, _U32(0)))
         rem_hi, rem_lo = a_hi, a_lo
         digits.append(q)
-    # Reassemble q = d0*2^48 + d1*2^32 + d2*2^16 + d3 (each digit < 2^16,
-    # so the low word needs no carry); the final remainder fits one limb.
-    q_lo = digits[3] + (digits[2] << 16)
-    q_hi = digits[1] + (digits[0] << 16)
+    # Reassemble q = d0*2^32 + d1*2^16 + d2 (each digit < 2^16, so the
+    # low word needs no carry); the final remainder fits one limb.
+    q_lo = digits[2] + (digits[1] << 16)
+    q_hi = digits[0]  # quotient bits 48..63 are statically zero
     return q_hi, q_lo, rem_lo
 
 
@@ -404,14 +416,19 @@ def _statistic_element(s1i, s2i, s12i, gain_limit: float):
     qf = _u32_f32(q_hi) * jnp.float32(2.0**32) + _u32_f32(q_lo)
     s1f = _u32_f32(d)
     rf = _u32_f32(r)
-    fracf = rf / s1f
     epsf = jnp.float32(_EPS64)
+    # One reciprocal feeds frac AND both epsilon-boundary thresholds
+    # (divides are multi-pass on the VPU; eps/s1 differs from
+    # eps/(s1+eps) by a relative 2^-34 — far inside the thresholds' own
+    # f32 slack, which the boundary-flip measurement bounds end to end,
+    # tests/test_boundary_flips.py).
+    inv_s1 = jnp.float32(1.0) / s1f
+    fracf = rf * inv_s1
     # c1 = (q+frac)*eps/(s1+eps): sv crosses one integer down iff frac > c1
-    c1 = (qf + fracf) * epsf / (s1f + epsf)
+    c1 = (qf + fracf) * (epsf * inv_s1)
     # c2 ~= 2*c1 (exact factor (2*s1*eps + eps^2)/(s1+eps)^2): t = q-1 iff
     # frac < c2
-    c2 = (qf + fracf) * epsf * (2.0 * s1f + epsf) / ((s1f + epsf) *
-                                                     (s1f + epsf))
+    c2 = c1 * ((2.0 * s1f + epsf) * inv_s1)
     # sv = trunc(s2 - g*s12) clamped >= 0. With v0 = s2 - q (integer):
     # v = v0 - frac + c1 -> floor = v0 - (frac > c1); negatives clamp to 0.
     # (q > s2 means v is deeply negative -> 0; q fits u32 there or not,

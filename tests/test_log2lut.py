@@ -207,3 +207,37 @@ def test_crlog2_direct_exhaustive_numpy():
     u = log2_q11_direct(m).astype(np.int64)
     want = log2_table().astype(np.int64)[2**15:2**16] - 30720
     np.testing.assert_array_equal(u, want)
+
+
+def test_crlog2_light_exhaustive_numpy():
+    """The ~68-op TRIMMED sequence (ops/crlog2.py:log2_q11_light) misses
+    the golden Q11 table on exactly 1 of 32768 mantissas under IEEE numpy
+    float32, by one step — inside the audit's compare-add budget
+    (_LOG2_DIRECT_MAX_EXC = 8), which is what lets the tiered audit ship
+    it as the default exact-statistic engine."""
+    from pqa2_tpu.ops.crlog2 import log2_q11_light
+    from pqa2_tpu.ops.pallas_vif_int import _LOG2_DIRECT_MAX_EXC
+
+    m = np.arange(2**15, 2**16, dtype=np.float32)
+    u = log2_q11_light(m).astype(np.int64)
+    want = log2_table().astype(np.int64)[2**15:2**16] - 30720
+    bad = np.nonzero(u != want)[0]
+    assert len(bad) <= _LOG2_DIRECT_MAX_EXC, len(bad)
+    assert np.all(np.abs(u[bad] - want[bad]) == 1), (
+        u[bad] - want[bad])
+
+
+def test_table_is_f32_double_rounded():
+    """The golden table is NOT round(log2(m)*2048) of the infinitely
+    precise log2 — libvmaf quantises log2 to FLOAT32 first, and that
+    double rounding moves exactly 38 of the 32768 entries (80-bit
+    exhaustive). Pinned so nobody "simplifies" an engine against the
+    single-rounded values: any sequence matching the table must
+    reproduce the correctly-rounded f32 y32 (2^-35.8 midpoint margin),
+    which is what both crlog2 sequences target."""
+    m = np.arange(2**15, 2**16, dtype=np.int64)
+    t = np.log2(m.astype(np.longdouble)) * 2048.0
+    single = np.floor(t + np.longdouble(0.5)).astype(np.int64)
+    table = log2_table().astype(np.int64)[2**15:2**16]
+    moved = int(np.sum(single != table))
+    assert moved == 38, moved

@@ -216,14 +216,17 @@ def test_log2_direct_audit_and_corrected_engine_exhaustive():
 
     import pqa2_tpu.ops.pallas_vif_int as pv
     from pqa2_tpu.golden.log2lut import log2_table
-    from pqa2_tpu.ops.crlog2 import log2_q11_direct
 
     exc = pv.log2_direct_exceptions(True)
     assert exc is not None
     assert len(exc) <= pv._LOG2_DIRECT_MAX_EXC
+    # The tiered audit must pick the light sequence on this backend's
+    # interpret path (IEEE f32: 2 exceptions, within budget) — the engine
+    # fn below is whatever it picked, so the pin holds regardless.
+    engine = pv.log2_direct_engine_fn(True)
 
     def kernel(m_ref, o_ref):
-        u = log2_q11_direct(m_ref[...])
+        u = engine(m_ref[...])
         for m_e, d_e in exc:
             u = u + jnp.where(m_ref[...] == np.float32(m_e),
                               np.float32(d_e), np.float32(0.0))
