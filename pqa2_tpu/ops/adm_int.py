@@ -116,20 +116,29 @@ def dwt2_int_batched(
 
 
 def _div_q15_trunc(ta: jnp.ndarray, oa: jnp.ndarray) -> jnp.ndarray:
-    """Exact trunc((ta << 15) / oa) for int32 0 <= ta, 0 < oa < 2^16.
+    """Exact trunc((ta << 15) / oa) for int32 0 <= ta < 2^24, oa < 2^24,
+    on the callers' effective range (the result is clipped to [0, 32768]
+    downstream, so only quotients <= 32769 must be exact).
 
-    f32 quotient estimate + wrapping-int32 residual + one truncating
-    correction division; result clipped to [0, 32768] by the caller's use.
+    Biased-LOW f32 estimate + ONE conditional correction (the same shape
+    as the VIF long division's digit step, ops/vif_int.py:_div_u64_u32):
+    ta*32768 is EXACT in f32 (24-bit integer times a power of two), so
+    the only estimate error is the hoisted reciprocal's ~2 ulp —
+    < 0.004 absolute on a <= 32769 quotient — and subtracting 0.25 pins
+    floor(estimate) to {q-1, q}. The wrapping-int32 residual is exact
+    (|true residual| < 2*oa < 2^25); one compare adds the missing 1.
+    Quotients past the clip range can land anywhere >= 32768 after the
+    fixup — jnp.minimum(..., 32768) at the caller absorbs them. No
+    integer division, no second f32 divide — Mosaic-safe, shared by the
+    XLA twin and the fused kernel (bit-identical paths).
     """
     oa_safe = jnp.maximum(oa, 1)
-    qf = jnp.floor(ta.astype(jnp.float32) * 32768.0 / oa_safe.astype(jnp.float32))
+    rdf = jnp.float32(1.0) / oa_safe.astype(jnp.float32)
+    qf = jnp.floor(ta.astype(jnp.float32) * jnp.float32(32768.0) * rdf
+                   - jnp.float32(0.25))
     q0 = jnp.clip(qf, 0.0, 65535.0).astype(_I32)
-    # Residual mod 2^32: exact because the true remainder is < 2^21.
-    rem = (ta << 15) - q0 * oa_safe
-    corr = jax.lax.div(rem, oa_safe)
-    q = q0 + corr
-    rem2 = rem - corr * oa_safe
-    return jnp.where(rem2 < 0, q - 1, q)
+    rem = (ta << 15) - q0 * oa_safe  # wrapping int32; exact in range
+    return q0 + (rem >= oa_safe).astype(_I32)
 
 
 def decouple_int_batched(

@@ -75,29 +75,58 @@ def _make_int_kernel(tile_b: int, w2: int, w2p: int, h2: int, level: int,
                acc_ref, a_ref_out, a_dist_out, vmem, sem):
         t = pl.program_id(1)
         n = pl.program_id(0)
+        nn = pl.num_programs(0)
+        nt = pl.num_programs(1)
 
         comps = (ree, reo, roe, roo, dee, deo, doe, doo)
-        for idx in range(8):
-            pltpu.make_async_copy(
-                comps[idx].at[n, pl.ds(t * tile_b, comp_rows8), :],
-                vmem.at[idx, pl.ds(0, comp_rows8), :],
-                sem.at[idx],
-            ).start()
-        for idx in range(8):
-            pltpu.make_async_copy(
-                comps[idx].at[n, pl.ds(t * tile_b, comp_rows8), :],
-                vmem.at[idx, pl.ds(0, comp_rows8), :],
-                sem.at[idx],
-            ).wait()
+
+        # Double-buffered input pipeline (ops/pallas_vif.py shape): wait
+        # on the 8 component tiles the previous step prefetched into this
+        # slot, start the next step's copies into the other slot — the 8
+        # per-step DMAs were the kernel's dominant serial stall
+        # (~34 grid steps per 4K frame at level 0).
+        def start_copies(slot, ni, ti):
+            for idx in range(8):
+                pltpu.make_async_copy(
+                    comps[idx].at[ni, pl.ds(ti * tile_b, comp_rows8), :],
+                    vmem.at[slot, idx, pl.ds(0, comp_rows8), :],
+                    sem.at[slot, idx],
+                ).start()
+
+        def wait_copies(slot):
+            for idx in range(8):
+                pltpu.make_async_copy(
+                    comps[idx].at[0, pl.ds(0, comp_rows8), :],
+                    vmem.at[slot, idx, pl.ds(0, comp_rows8), :],
+                    sem.at[slot, idx],
+                ).wait()
+
+        step = n * nt + t
+        slot = jax.lax.rem(step, 2)
+
+        @pl.when(step == 0)
+        def _():
+            start_copies(0, n, t)
+
+        t1 = t + 1
+        ct = t1 == nt
+        t1 = jnp.where(ct, 0, t1)
+        n1 = jnp.where(ct, n + 1, n)
+
+        @pl.when(n1 < nn)
+        def _():
+            start_copies(1 - slot, n1, t1)
+
+        wait_copies(slot)
 
         def rshift(acc, s):
             return (acc + _I32(1 << (s - 1))) >> s
 
         def dwt2(base):
-            ee = vmem[base + 0, :comp_rows, :]
-            eo = vmem[base + 1, :comp_rows, :]
-            oe = vmem[base + 2, :comp_rows, :]
-            oo = vmem[base + 3, :comp_rows, :]
+            ee = vmem[slot, base + 0, :comp_rows, :]
+            eo = vmem[slot, base + 1, :comp_rows, :]
+            oe = vmem[slot, base + 2, :comp_rows, :]
+            oo = vmem[slot, base + 3, :comp_rows, :]
 
             def col_pass(taps):
                 # Vertical (row-tap) pass with the schedule's intermediate
@@ -176,25 +205,10 @@ def _make_int_kernel(tile_b: int, w2: int, w2p: int, h2: int, level: int,
                  + t * tile_b - 1)
         col_g = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
 
-        def div_q15_trunc(ta, oa):
-            """Exact trunc((ta << 15) / oa) without integer division:
-            f32 quotient estimate, exact int32 residual, f32 floor of the
-            residual quotient with +-1 fix-ups (rem, oa < 2^24 so the f32
-            divisions are correctly rounded; the fix-ups make floor exact).
-            """
-            oa_safe = jnp.maximum(oa, 1)
-            oaf = oa_safe.astype(jnp.float32)
-            q0 = jnp.clip(
-                jnp.floor(ta.astype(jnp.float32) * 32768.0 / oaf),
-                0.0, 65535.0,
-            ).astype(_I32)
-            rem = (ta << 15) - q0 * oa_safe  # wrapping int32; residual exact
-            corr = jnp.floor(rem.astype(jnp.float32) / oaf).astype(_I32)
-            rem2 = rem - corr * oa_safe
-            corr = jnp.where(rem2 < 0, corr - 1, corr)
-            rem2 = rem - corr * oa_safe
-            corr = jnp.where(rem2 >= oa_safe, corr + 1, corr)
-            return q0 + corr
+        # Decouple division: the shared biased-low estimate + one-fixup
+        # scheme (ops/adm_int.py:_div_q15_trunc — identical op sequence
+        # in the XLA twin, one reciprocal, no correction divide).
+        from pqa2_tpu.ops.adm_int import _div_q15_trunc as div_q15_trunc
 
         def icsf(band, f):
             # Fixed-point CSF (golden/adm_int.py:_icsf); |band| < 2^16 and
@@ -245,15 +259,15 @@ def _make_int_kernel(tile_b: int, w2: int, w2p: int, h2: int, level: int,
         band3 = shift_row(abs_sum, -1) + abs_sum + shift_row(abs_sum, 1)
         ssum = (shift_col(band3, -1) + band3 + shift_col(band3, 1)
                 + abs_sum)  # < 30 * 2^18 < 2^23: exact in f32
-        # trunc(ssum / 30): f32 reciprocal estimate (off by at most 1 after
-        # floor) + exact integer fixup — Mosaic-safe, no integer division,
+        # trunc(ssum / 30): biased-LOW f32 reciprocal estimate + ONE
+        # conditional fixup (ssum < 2^23 is exact in f32 and the
+        # reciprocal product's error is < 0.02 absolute, so -0.25 pins
+        # floor to {q-1, q}) — Mosaic-safe, no integer division,
         # bit-identical to the oracle's // 30.
-        q0 = jnp.floor(ssum.astype(jnp.float32)
-                       * jnp.float32(1.0 / 30.0)).astype(_I32)
+        q0 = jnp.floor(ssum.astype(jnp.float32) * jnp.float32(1.0 / 30.0)
+                       - jnp.float32(0.25)).astype(_I32)
         rem = ssum - q0 * 30
-        q0 = jnp.where(rem < 0, q0 - 1, q0)
-        rem = ssum - q0 * 30
-        mt = jnp.where(rem >= 30, q0 + 1, q0)
+        mt = q0 + (rem >= 30).astype(_I32)
 
         core = ((row_g >= t * tile_b) & (row_g < t * tile_b + tile_b)
                 & (row_g >= trim_h) & (row_g < h2 - trim_h)
@@ -373,8 +387,8 @@ def adm_int_level_pallas(
             jax.ShapeDtypeStruct((n, num_tiles * tile_b, w2p), _I32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((8, _round_up(comp_rows, 8), w2p), _I32),
-            pltpu.SemaphoreType.DMA((8,)),
+            pltpu.VMEM((2, 8, _round_up(comp_rows, 8), w2p), _I32),
+            pltpu.SemaphoreType.DMA((2, 8)),
         ],
         interpret=interpret,
     )(*r_comps, *d_comps)

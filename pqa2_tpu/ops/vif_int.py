@@ -307,24 +307,22 @@ def _div_u64_u32(p_hi: jnp.ndarray, p_lo: jnp.ndarray, d: jnp.ndarray):
         # exact i32 cast — no 16-bit limb split needed.
         remf = (rem_hi.astype(jnp.int32).astype(jnp.float32)
                 * jnp.float32(2.0**32) + _u32_f32(rem_lo))
-        q = jnp.floor(remf * rdf)
-        q = _f32_u32(jnp.clip(q, 0.0, 65536.0))
-        # exact fixup: rem2 = rem - q*d, then the bounded +-1 adjustments
-        # (the hoisted-reciprocal estimate is off by < 0.05 absolute on a
-        # < 2^16 digit, so only the floor boundary can put it off by one)
+        # Biased-LOW estimate: the unbiased error is < +-0.02 absolute
+        # (remf rounding + hoisted-reciprocal looseness + one product
+        # rounding, each <= 2^-7 on a < 2^16 digit), so subtracting a
+        # 0.0625 bias pins the estimate to {q-1, q} — the fixup becomes
+        # ONE conditional add instead of the former two-sided +-1 pair
+        # (the 'over' branch with its carry plumbing drops out, and the
+        # post-fixup remainder r < d < 2^31 makes u32 wraparound handle
+        # the hi-word borrow for free).
+        q = jnp.floor(remf * rdf - jnp.float32(0.0625))
+        q = _f32_u32(jnp.clip(q, 0.0, 65535.0))
         qd_hi, qd_lo = _mul_16x32(q, d)
-        r_hi, r_lo, borrow = _pair_sub(rem_hi, rem_lo, qd_hi, qd_lo)
-        over = borrow > 0  # q one too big
-        q = jnp.where(over, q - 1, q)
-        add_lo = r_lo + jnp.where(over, d, _U32(0))
-        carry = (add_lo < r_lo).astype(_U32)
-        a_hi = r_hi + jnp.where(over, carry, _U32(0))
-        a_lo = add_lo
-        under = (a_hi > 0) | (a_lo >= d)  # q one too small
-        q = jnp.where(under, q + 1, q)
-        a_hi, a_lo, _ = _pair_sub(a_hi, a_lo, jnp.zeros_like(d),
-                                  jnp.where(under, d, _U32(0)))
-        rem_hi, rem_lo = a_hi, a_lo
+        r_hi, r_lo, _ = _pair_sub(rem_hi, rem_lo, qd_hi, qd_lo)  # >= 0
+        under = (r_hi > 0) | (r_lo >= d)  # estimate was q-1
+        q = q + under.astype(_U32)
+        rem_hi = jnp.zeros_like(d)  # remainder < d < 2^31 after fixup
+        rem_lo = r_lo - jnp.where(under, d, _U32(0))  # u32 wrap = borrow
         digits.append(q)
     # Reassemble q = d0*2^32 + d1*2^16 + d2 (each digit < 2^16, so the
     # low word needs no carry); the final remainder fits one limb.
