@@ -59,7 +59,7 @@ def _trim(w: int) -> int:
 
 def _make_int_kernel(tile_b: int, w2: int, w2p: int, h2: int, level: int,
                      gain_limit: float, extra_row_shift: int,
-                     in_split: bool = False):
+                     in_split: bool = False, out_i16: bool = False):
     lo = [int(c) for c in DB2_LO_Q15]
     hi = [int(c) for c in DB2_HI_Q15]
     nb = tile_b + 2
@@ -317,15 +317,22 @@ def _make_int_kernel(tile_b: int, w2: int, w2p: int, h2: int, level: int,
         def _():
             acc_ref[0] = acc_ref[0] + blk
 
-        a_ref_out[0] = o["a"][1 : 1 + tile_b, :]
-        a_dist_out[0] = td["a"][1 : 1 + tile_b, :]
+        if out_i16:
+            # Levels <= 12-bit: |approx| <= Q4-input * db2-L1^2 < 2^14, so
+            # the level-0 output (the ADM's single biggest HBM stream —
+            # ~285 MB per 16-frame 4K batch in i32) stores as int16.
+            a_ref_out[0] = o["a"][1 : 1 + tile_b, :].astype(jnp.int16)
+            a_dist_out[0] = td["a"][1 : 1 + tile_b, :].astype(jnp.int16)
+        else:
+            a_ref_out[0] = o["a"][1 : 1 + tile_b, :]
+            a_dist_out[0] = td["a"][1 : 1 + tile_b, :]
 
     return kernel, comp_rows
 
 
 @functools.partial(jax.jit, static_argnames=(
     "level", "gain_limit", "tile_b", "interpret", "extra_row_shift",
-    "in_split"))
+    "in_split", "out_i16"))
 def adm_int_level_pallas(
     ref: jnp.ndarray,
     dist: jnp.ndarray,
@@ -335,6 +342,7 @@ def adm_int_level_pallas(
     interpret: bool = False,
     extra_row_shift: int = 0,
     in_split: bool = False,
+    out_i16: bool = False,
 ):
     """One integer ADM level. ref/dist: (N, H, W) int32 approx bands at
     Q(ADM_BAND_Q[level-1] or input Q). Returns (sums, a_ref, a_dist)."""
@@ -368,7 +376,8 @@ def adm_int_level_pallas(
     d_comps = components(dist)
 
     kernel, comp_rows = _make_int_kernel(
-        tile_b, w2, w2p, h2, level, gain_limit, extra_row_shift, in_split)
+        tile_b, w2, w2p, h2, level, gain_limit, extra_row_shift, in_split,
+        out_i16=out_i16)
     acc, a_ref, a_dist = pl.pallas_call(
         kernel,
         grid=(n, num_tiles),
@@ -383,8 +392,10 @@ def adm_int_level_pallas(
         ),
         out_shape=(
             jax.ShapeDtypeStruct((n, 8, 128), jnp.int32),
-            jax.ShapeDtypeStruct((n, num_tiles * tile_b, w2p), _I32),
-            jax.ShapeDtypeStruct((n, num_tiles * tile_b, w2p), _I32),
+            jax.ShapeDtypeStruct((n, num_tiles * tile_b, w2p),
+                                 jnp.int16 if out_i16 else _I32),
+            jax.ShapeDtypeStruct((n, num_tiles * tile_b, w2p),
+                                 jnp.int16 if out_i16 else _I32),
         ),
         scratch_shapes=[
             pltpu.VMEM((2, 8, _round_up(comp_rows, 8), w2p), _I32),
@@ -434,6 +445,11 @@ def adm_pooled_digit_sums_pallas(
         digits, cur_r, cur_d = adm_int_level_pallas(
             cur_r, cur_d, lvl, gain_limit=gain_limit, interpret=interpret,
             extra_row_shift=drop, in_split=in_q >= 8 and lvl == 0,
+            # Level 0 carries the biggest approx stream; <= 12-bit inputs
+            # (Q4 grid, < 2^12) bound it under 2^14 — int16-safe. Deeper
+            # levels compound the db2 L1 gain (level-3 worst case passes
+            # 2^16), and >= 13-bit codes enter unshifted — both keep i32.
+            out_i16=lvl == 0 and in_q < 8,
         )
         levels.append(digits)
     return jnp.stack(levels, axis=1)

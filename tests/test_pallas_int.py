@@ -127,6 +127,30 @@ def test_adm_matches_xla_twin(rng, shape):
     np.testing.assert_array_equal(got, want)
 
 
+def test_adm_int16_level0_bound_worst_case(rng):
+    """The level-0 approx band stores as int16 for <= 12-bit inputs
+    (ops/pallas_adm_int.py out_i16): worst-case amplitudes — full-scale
+    12-bit constants and checkerboards, which maximise the db2 L1 gain —
+    must stay bit-equal to the XLA twin through the narrow store."""
+    from pqa2_tpu.ops.adm_int import adm_pooled_digit_sums_batched
+    from pqa2_tpu.ops.pallas_adm_int import adm_pooled_digit_sums_pallas
+
+    h, w = 64, 128
+    flat = np.full((h, w), 4095.75, np.float32)
+    checker = np.where((np.add.outer(np.arange(h), np.arange(w)) & 1),
+                       4095.75, 0.0).astype(np.float32)
+    stripes = np.where((np.arange(w) // 2 % 2)[None, :].repeat(h, 0),
+                       4095.75, 0.0).astype(np.float32)
+    for ref_img, dist_img in ((flat, checker), (checker, stripes),
+                              (stripes, flat)):
+        r = (ref_img / 16.0)[None]  # 12-bit codes on the 8-bit scale
+        d = (dist_img / 16.0)[None]
+        dx = np.asarray(adm_pooled_digit_sums_batched(r, d, bit_depth=12))
+        dp = np.asarray(adm_pooled_digit_sums_pallas(r, d, interpret=True,
+                                                     bit_depth=12))
+        assert np.array_equal(dx, dp)
+
+
 def test_adm_gain_limit_neg(rng):
     from pqa2_tpu.ops.adm_int import adm_pooled_digit_sums_batched
     from pqa2_tpu.ops.pallas_adm_int import adm_pooled_digit_sums_pallas
