@@ -476,12 +476,80 @@ def make_natural_clip(n, h, w, seed=0):
     return np.stack(frames)
 
 
+# Throughput stages of --full, keyed by their BENCH_FULL.json field. Each
+# runs in its OWN subprocess (see _run_stage_isolated): the axon tunnel can
+# throw a transient INVALID_ARGUMENT that poisons the whole client —
+# in-process, one such error at stage 5 killed every later stage of the
+# round-5 first attempt. Isolation + one retry makes a transient error cost
+# one stage rerun instead of the rest of the artifact. The persistent
+# compilation cache keeps the per-subprocess recompile cost near zero.
+STAGE_DEFS = {
+    "hd_full_fps": lambda log: bench_config_with_metrics(
+        "1080p vmaf+psnr+ssim", "vmaf_v0.6.1", 16, 1080, 1920, log=log),
+    "hd_fps": lambda log: bench_config(
+        "1080p vmaf_v0.6.1", "vmaf_v0.6.1", 32, 1080, 1920, log=log),
+    "neg_fps": lambda log: bench_config(
+        "1080p vmaf_v0.6.1neg", "vmaf_v0.6.1neg", 32, 1080, 1920, log=log),
+    "uhd_fps": lambda log: bench_config(
+        "4k vmaf_4k_v0.6.1", "vmaf_4k_v0.6.1", 32, 2160, 3840, log=log),
+    "uhd_full_fps": lambda log: bench_config_with_metrics(
+        "4k vmaf+psnr+ssim", "vmaf_4k_v0.6.1", 16, 2160, 3840, log=log),
+    # The DEFAULT integer path (round 4): bit-faithful exact LUT
+    # statistic via the audited direct double-f32 engine.
+    "uhd_integer_fps": lambda log: bench_config(
+        "4k integer default (exact LUT statistic)", "vmaf_4k_v0.6.1",
+        32, 2160, 3840, log=log, precision="integer"),
+    # Opt-in throughput mode: f32-log statistic (score delta <=1e-3).
+    "uhd_integer_fast_fps": lambda log: bench_config(
+        "4k integer_fast (opt-in f32-log statistic)", "vmaf_4k_v0.6.1",
+        32, 2160, 3840, log=log, precision="integer_fast"),
+    # Native >8-bit grid (round-3): same integer pipeline, widened shifts.
+    "uhd_integer_10bit_fps": lambda log: bench_config(
+        "4k integer 10-bit native grid", "vmaf_4k_v0.6.1",
+        32, 2160, 3840, log=log, precision="integer", bit_depth=10),
+    # Deepest native grid: depth 16 runs the byte-split ADM accumulator.
+    "uhd_integer_16bit_fps": lambda log: bench_config(
+        "4k integer 16-bit native grid", "vmaf_4k_v0.6.1",
+        32, 2160, 3840, log=log, precision="integer", bit_depth=16),
+    # Bootstrap family: 21-way stacked-vmap ensemble + CI.
+    "hd_bootstrap_fps": lambda log: bench_config(
+        "1080p bootstrap vmaf_b_v0.6.3 (21-way)", "vmaf_b_v0.6.3",
+        16, 1080, 1920, log=log),
+}
+
+
+def _run_stage_isolated(key, log, attempts=2, timeout=900):
+    """Run one STAGE_DEFS stage in a fresh subprocess; return its stats dict
+    (the last JSON line on its stdout) or None after `attempts` failures."""
+    import subprocess
+
+    me = os.path.abspath(__file__)
+    for attempt in range(attempts):
+        try:
+            proc = subprocess.run(
+                [sys.executable, me, "--stage", key], capture_output=True,
+                text=True, timeout=timeout, cwd=os.path.dirname(me))
+            if proc.stderr:
+                for line in proc.stderr.splitlines():
+                    if line.startswith("[bench]"):
+                        log(line)
+            if proc.returncode == 0:
+                last = [l for l in proc.stdout.splitlines() if l.strip()][-1]
+                return json.loads(last)
+            log(f"[bench] stage {key} attempt {attempt + 1} failed rc="
+                f"{proc.returncode}: {proc.stderr.strip().splitlines()[-1:]}")
+        except Exception as e:
+            log(f"[bench] stage {key} attempt {attempt + 1} failed: {e}")
+    return None
+
+
 def bench_full(log):
     """--full: all five BASELINE.json configs, written to BENCH_FULL.json.
 
     Configs 1-3 are jit-step throughput (HD+PSNR/SSIM, NEG, 4K); config 4
     is the captured-vs-reference bookend workflow wall-clock; config 5 the
-    multi-clip ladder aggregate."""
+    multi-clip ladder aggregate. Throughput stages run subprocess-isolated
+    (STAGE_DEFS) so one transient tunnel error cannot poison the rest."""
     import tempfile
 
     import jax
@@ -491,63 +559,13 @@ def bench_full(log):
     results = {}
     stages = results["stages"] = {}
 
-    def record(key, stats):
+    for key in STAGE_DEFS:
+        stats = _run_stage_isolated(key, log)
+        if stats is None:
+            log(f"[bench] stage {key} FAILED after retries — field omitted")
+            continue
         results[key] = stats["fps_best"]
         stages[key] = stats
-
-    record("hd_full_fps", bench_config_with_metrics(
-        "1080p vmaf+psnr+ssim", "vmaf_v0.6.1", 16, 1080, 1920, log=log))
-    record("hd_fps", bench_config(
-        "1080p vmaf_v0.6.1", "vmaf_v0.6.1", 32, 1080, 1920, log=log))
-    record("neg_fps", bench_config(
-        "1080p vmaf_v0.6.1neg", "vmaf_v0.6.1neg", 32, 1080, 1920, log=log))
-    record("uhd_fps", bench_config(
-        "4k vmaf_4k_v0.6.1", "vmaf_4k_v0.6.1", 32, 2160, 3840, log=log))
-    try:
-        record("uhd_full_fps", bench_config_with_metrics(
-            "4k vmaf+psnr+ssim", "vmaf_4k_v0.6.1", 16, 2160, 3840, log=log))
-    except Exception as e:
-        log(f"[bench] 4k full-metrics failed: {e}")
-    try:
-        # The DEFAULT integer path (round 4): bit-faithful exact LUT
-        # statistic via the audited direct double-f32 engine.
-        record("uhd_integer_fps", bench_config(
-            "4k integer default (exact LUT statistic)", "vmaf_4k_v0.6.1",
-            32, 2160, 3840, log=log, precision="integer"))
-    except Exception as e:
-        log(f"[bench] integer-path 4k failed: {e}")
-    try:
-        # Opt-in throughput mode: f32-log statistic (score delta <=1e-3).
-        record("uhd_integer_fast_fps", bench_config(
-            "4k integer_fast (opt-in f32-log statistic)", "vmaf_4k_v0.6.1",
-            32, 2160, 3840, log=log, precision="integer_fast"))
-    except Exception as e:
-        log(f"[bench] integer-fast 4k failed: {e}")
-
-    try:
-        # Native >8-bit grid (round-3): same integer pipeline, widened
-        # shifts — the cost of 10-bit over 8-bit should be ~zero.
-        record("uhd_integer_10bit_fps", bench_config(
-            "4k integer 10-bit native grid", "vmaf_4k_v0.6.1",
-            32, 2160, 3840, log=log, precision="integer", bit_depth=10))
-    except Exception as e:
-        log(f"[bench] integer 10-bit 4k failed: {e}")
-    try:
-        # Deepest native grid: depth 16 runs the byte-split ADM accumulator
-        # (round-4 VERDICT item 6 — previously unmeasured).
-        record("uhd_integer_16bit_fps", bench_config(
-            "4k integer 16-bit native grid", "vmaf_4k_v0.6.1",
-            32, 2160, 3840, log=log, precision="integer", bit_depth=16))
-    except Exception as e:
-        log(f"[bench] integer 16-bit 4k failed: {e}")
-    try:
-        # Bootstrap family: 21-way stacked-vmap ensemble + CI (round-4
-        # VERDICT item 6 — previously unmeasured).
-        record("hd_bootstrap_fps", bench_config(
-            "1080p bootstrap vmaf_b_v0.6.3 (21-way)", "vmaf_b_v0.6.3",
-            16, 1080, 1920, log=log))
-    except Exception as e:
-        log(f"[bench] bootstrap 1080p failed: {e}")
 
     results["parity"] = parity_check(log)
     try:
@@ -681,6 +699,15 @@ def main():
     log = lambda *a: print(*a, file=sys.stderr, flush=True)
     platform = jax.devices()[0].platform
     log(f"[bench] backend: {platform} x{jax.device_count()}")
+
+    if "--stage" in sys.argv:
+        # Subprocess leg of --full: run ONE throughput stage, print its
+        # stats dict as the last stdout line (consumed by
+        # _run_stage_isolated in the parent).
+        key = sys.argv[sys.argv.index("--stage") + 1]
+        stats = STAGE_DEFS[key](log)
+        print(json.dumps(stats, default=str))
+        return
 
     if "--full" in sys.argv:
         results = bench_full(log)
